@@ -1,0 +1,322 @@
+"""Typed configuration for the TPU-native SLAM engine.
+
+One dataclass tree replaces the reference's three config layers:
+ - rosparam YAML presets (`config/params.yaml`, `params_lio/cqu/m2.yaml`)
+   loaded by `ParamServer` (reference src/include/utility.h:361-480),
+ - semantic label YAML (`config/label.yaml`) loaded by `SemanticLabelParam`
+   (utility.h:122-229) — see lis_slam_tpu/labels.py,
+ - the reference's compile-time strategy #defines
+   (odomEstimationNode.cpp:8-11, subMapOptmizationNode.cpp:29-35) which here
+   are runtime fields (`target_mode`, `feature_mode`).
+
+Everything that shapes arrays (capacities, scan geometry) is static so XLA
+sees fixed shapes; everything numeric rides into jitted functions as Python
+floats baked into the trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class TargetMode(str, Enum):
+    """Which map the current scan is matched against (reference compile-time
+    flags USING_SINGLE/SUBMAP/SLIDING/MULTI_KEYFRAME_TARGET)."""
+
+    SINGLE_FRAME = "single_frame"
+    MULTI_FRAME = "multi_frame"  # last K keyframes merged (front-end default)
+    SLIDING = "sliding"  # sliding local map, bbox-cropped (back-end default)
+    SUBMAP = "submap"
+
+
+class FeatureMode(str, Enum):
+    """USING_LOAM_FEATURE vs USING_SEMANTIC_FEATURE (subMapOptmizationNode.cpp:34-35)."""
+
+    LOAM = "loam"
+    SEMANTIC = "semantic"
+
+
+class DescriptorType(str, Enum):
+    """Loop-closure descriptor family (params.yaml Using*Flag block)."""
+
+    SC = "sc"
+    ISC = "isc"
+    EPSC = "epsc"
+    SEPSC = "sepsc"
+    SSC = "ssc"
+    FEPSC = "fepsc"
+    POSE = "pose"
+
+
+@dataclass(frozen=True)
+class SensorConfig:
+    """Sensor geometry (params.yaml "Sensor Settings")."""
+
+    n_scan: int = 64
+    horizon_scan: int = 1800
+    downsample_rate: int = 2
+    lidar_min_range: float = 0.0
+    lidar_max_range: float = 70.0
+    scan_period: float = 0.1  # seconds per sweep (laserPretreatment.h:12)
+    # Raw-cloud fixed capacity (HDL-64 emits ~130k points/scan)
+    max_raw_points: int = 150_000
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise + extrinsics (params.yaml "IMU Settings")."""
+
+    use_imu: bool = False
+    acc_noise: float = 3.9939570888238808e-03
+    gyr_noise: float = 1.5636343949698187e-03
+    acc_bias_noise: float = 6.4356659353532566e-05
+    gyr_bias_noise: float = 3.5640318696367613e-05
+    gravity: float = 9.80511
+    rpy_weight: float = 0.1
+    # extrinsic rotation IMU->lidar (KITTI values from params.yaml)
+    extrinsic_rot: tuple = (
+        (9.999976e-01, 7.553071e-04, -2.035826e-03),
+        (-7.854027e-04, 9.998898e-01, -1.482298e-02),
+        (2.024406e-03, 1.482454e-02, 9.998881e-01),
+    )
+    extrinsic_trans: tuple = (-8.086759e-01, 3.195559e-01, -7.997231e-01)
+    # fixed-capacity IMU window per scan (200 Hz * 0.1 s + margin)
+    max_imu_per_scan: int = 64
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """LOAM feature extraction (params.yaml "LOAM feature threshold" +
+    constants from laserProcessing.cpp extractFeatures)."""
+
+    edge_threshold: float = 1.0
+    surf_threshold: float = 0.1
+    edge_feature_min_valid_num: int = -1
+    surf_feature_min_valid_num: int = 100
+    sectors_per_ring: int = 6
+    max_corners_per_sector: int = 20
+    max_sharp_corners_per_sector: int = 4
+    max_sharp_surfs_per_sector: int = 10
+    occlusion_range_diff: float = 0.3
+    occlusion_col_diff: int = 10
+    parallel_beam_ratio: float = 0.02
+    # fixed capacities for padded feature buffers (per scan)
+    max_corner_points: int = 4096
+    max_surf_points: int = 32768
+    max_sharp_corner_points: int = 1024
+    max_sharp_surf_points: int = 2048
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """Scan-to-map matching / solver (odomEstimationNode.cpp:596-974)."""
+
+    max_iterations_frontend: int = 15
+    max_iterations_submap: int = 20
+    max_iterations_submap2submap: int = 30
+    nn_max_sq_dist: float = 1.0  # 5th-NN gate (pointSearchSqDis[4] < 1.0)
+    plane_fit_tolerance: float = 0.2
+    eigen_ratio_line: float = 3.0  # matD1(0,0) > 3*matD1(0,1)
+    residual_damping: float = 0.9  # s = 1 - 0.9*|residual|
+    min_residual_weight: float = 0.1  # keep if s > 0.1
+    min_valid_points: int = 50
+    degeneracy_eigen_threshold: float = 100.0
+    converge_delta_r_deg: float = 0.005
+    converge_delta_t_cm: float = 0.05
+    # map buffer capacities (multi-frame target, voxel-downsampled)
+    corner_map_capacity: int = 32768
+    surf_map_capacity: int = 131072
+    # voxel-hash NN parameters
+    hash_table_slots: int = 1 << 17
+    hash_bucket_size: int = 16
+
+
+@dataclass(frozen=True)
+class VoxelConfig:
+    """Voxel filter leaf sizes (params.yaml "voxel filter paprams")."""
+
+    odometry_surf_leaf: float = 0.4
+    mapping_corner_leaf: float = 0.2
+    mapping_surf_leaf: float = 0.4
+    submap_corner_leaf: float = 0.2
+    submap_surf_leaf: float = 0.4
+    submap_leaf: float = 0.5
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe gating + multi-frame target window
+    (odomEstimationNode.cpp:216-228, 452-467; params.yaml)."""
+
+    min_distance: float = 1.4  # keyFrameMiniDistance
+    min_yaw: float = 0.5  # keyFrameMiniYaw (radians)
+    window_size: int = 20  # last-K keyframe clouds merged as target
+    converge_delta_r: float = 0.005
+    converge_delta_t: float = 0.05
+
+
+@dataclass(frozen=True)
+class SubMapConfig:
+    """Submap cut criterion + capacities (subMap.h:1103-1122, params.yaml)."""
+
+    yaw_max: float = 0.9
+    translation_max: float = 50.0
+    frames_size: int = 20
+    max_time: float = 3.0
+    first_size: int = 2
+    max_submaps: int = 256  # global pose-graph capacity
+    local_map_radius: float = 70.0  # sliding-target bbox crop (+-70 m)
+    # per-submap merged cloud capacities
+    corner_capacity: int = 65536
+    surf_capacity: int = 131072
+    # dynamic-removal gates (subMap.h:1065-1100)
+    dynamic_removal_radius: float = 30.0
+    dynamic_near: float = 0.1
+    dynamic_min: float = 1.0
+    dynamic_max: float = 10.0
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """EPSC loop closure (epscGeneration.h + params.yaml "Loop closure")."""
+
+    enabled: bool = True
+    descriptor: DescriptorType = DescriptorType.FEPSC
+    frequency: float = 2.0
+    rings: int = 20
+    sectors: int = 80
+    min_dis: float = 3.0
+    max_dis: float = 60.0
+    lidar_height: float = 5.0
+    skip_neighbor_distance: float = 20.0  # SKIP_NEIBOUR_DISTANCE
+    inflation_covariance: float = 0.01  # INFLATION_COVARIANCE
+    geometry_threshold: float = 0.15
+    intensity_threshold: float = 0.79
+    distance_threshold: float = 0.75
+    label_threshold: float = 0.79
+    rotation_search: int = 10  # +-10 sector shift in calculateDistance
+    history_search_radius: float = 15.0
+    history_search_time_diff: float = 30.0
+    history_fitness_score: float = 0.5
+    max_candidates: int = 8
+    icp_max_iterations: int = 30
+    max_keyframes: int = 4096  # descriptor database capacity
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    """Global pose-graph solver (replaces GTSAM iSAM2,
+    subMapOptmizationNode.cpp:4084-4385)."""
+
+    max_iterations: int = 20
+    odom_rot_sigma: float = 1e-3
+    odom_trans_sigma: float = 1e-2
+    loop_rot_sigma: float = 1e-2
+    loop_trans_sigma: float = 1e-1
+    prior_sigma: float = 1e-4
+    damping: float = 1e-6
+    gps_cov_threshold: float = 2.0
+    pose_cov_threshold: float = 25.0
+
+
+@dataclass(frozen=True)
+class SemanticConfig:
+    """RangeNet++ + category mapping (semanticFusionNode.cpp:173-189)."""
+
+    enabled: bool = False
+    num_classes: int = 20
+    model_input_h: int = 64
+    model_input_w: int = 2048
+    model_input_c: int = 5
+    # per-channel normalization means/stds (RangeNet++ darknet53 arch_cfg)
+    img_means: tuple = (12.12, 10.88, 0.23, -1.04, 0.21)
+    img_stds: tuple = (12.32, 11.47, 6.91, 0.86, 0.16)
+    fp16: bool = True  # bf16 on TPU
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Host-side runtime: queues, replay, export (aux subsystems)."""
+
+    queue_capacity: int = 20  # drop-beyond-20 policy (subMapOptmizationNode.cpp:739)
+    mapping_process_interval: float = 0.15
+    z_tolerance: float = 1000.0
+    rotation_tolerance: float = 1000.0
+    save_pcd: bool = False
+    save_trajectory: bool = False
+    result_path: str = ""
+    num_host_threads: int = 2
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    sensor: SensorConfig = field(default_factory=SensorConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    feature: FeatureConfig = field(default_factory=FeatureConfig)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    voxel: VoxelConfig = field(default_factory=VoxelConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    submap: SubMapConfig = field(default_factory=SubMapConfig)
+    loop: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    semantic: SemanticConfig = field(default_factory=SemanticConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    target_mode: TargetMode = TargetMode.MULTI_FRAME
+    feature_mode: FeatureMode = FeatureMode.LOAM
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference's four YAML files
+# ---------------------------------------------------------------------------
+
+
+def kitti_config() -> SlamConfig:
+    """KITTI HDL-64, LiDAR-only, FEPSC loop closure (config/params.yaml)."""
+    return SlamConfig()
+
+
+def lio_config() -> SlamConfig:
+    """VLP-16 + IMU + GPS-vel, EPSC (config/params_lio.yaml)."""
+    base = SlamConfig()
+    return base.replace(
+        sensor=SensorConfig(
+            n_scan=16, horizon_scan=1800, downsample_rate=1,
+            lidar_min_range=1.0, lidar_max_range=100.0, max_raw_points=40_000,
+        ),
+        imu=dataclasses.replace(base.imu, use_imu=True),
+        loop=dataclasses.replace(base.loop, descriptor=DescriptorType.EPSC),
+        keyframe=dataclasses.replace(base.keyframe, min_distance=0.2, min_yaw=0.2),
+    )
+
+
+def cqu_config() -> SlamConfig:
+    """RSLidar-16 preset (config/params_cqu.yaml)."""
+    base = lio_config()
+    return base.replace(
+        sensor=dataclasses.replace(base.sensor, lidar_max_range=80.0),
+    )
+
+
+def m2_config() -> SlamConfig:
+    """32-beam preset with trajectory export (config/params_m2.yaml)."""
+    base = SlamConfig()
+    return base.replace(
+        sensor=SensorConfig(
+            n_scan=32, horizon_scan=1800, downsample_rate=1,
+            lidar_min_range=1.0, lidar_max_range=90.0, max_raw_points=80_000,
+        ),
+        runtime=dataclasses.replace(base.runtime, save_trajectory=True),
+    )
+
+
+PRESETS = {
+    "kitti": kitti_config,
+    "lio": lio_config,
+    "cqu": cqu_config,
+    "m2": m2_config,
+}
