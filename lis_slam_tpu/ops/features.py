@@ -1,0 +1,258 @@
+"""LOAM feature extraction: curvature, occlusion masking, sector top-k.
+
+Rebuild of reference `src/core/laserProcessing.cpp`:
+ - `calculateSmoothness` (:544-563): curvature = (11-point range difference)^2
+   over the compacted cloud,
+ - `markOccludedPoints` (:568-605): occlusion (range step > 0.3 m within 10
+   columns) and parallel-beam (both neighbors differ by > 2% range) masks,
+ - `extractFeatures` (:610-713): per ring, 6 azimuth sectors; greedy pick of
+   up to 20 corners (top-4 = "sharp") by descending curvature with +-5
+   neighbor suppression, and surface points by ascending curvature (first 10
+   = "sharp surf"); remaining non-corner points all become the surface cloud.
+
+The greedy suppression loop is inherently sequential per sector; here it runs
+as a `lax.fori_loop` of (max picks) argmax steps over each row, vmapped over
+rings — small static trip counts, fully on-device.
+
+Outputs are fixed-capacity padded point buffers gathered across rings.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FeatureConfig
+from .projection import ExtractedCloud
+
+_BIG = jnp.float32(1e18)
+
+
+class FeatureClouds(NamedTuple):
+    """Padded per-scan feature buffers (cloud_info equivalents)."""
+
+    corner_xyz: jnp.ndarray  # (Ck, 3)
+    corner_mask: jnp.ndarray  # (Ck,)
+    sharp_corner_xyz: jnp.ndarray  # (Cs, 3)
+    sharp_corner_mask: jnp.ndarray
+    surf_xyz: jnp.ndarray  # (Sk, 3) — all non-corner valid points
+    surf_mask: jnp.ndarray
+    sharp_surf_xyz: jnp.ndarray  # (Ss, 3)
+    sharp_surf_mask: jnp.ndarray
+    corner_intensity: jnp.ndarray  # (Ck,)
+    surf_intensity: jnp.ndarray  # (Sk,)
+
+
+def curvature_and_occlusion(ext: ExtractedCloud, cfg: FeatureConfig):
+    """Per-row curvature + neighbor-picked init mask.
+
+    Returns (curvature (N,H), picked (N,H) bool) where picked=True marks
+    points excluded from feature selection (occluded / parallel / margin).
+    """
+    r = ext.rng
+    n, h = r.shape
+    # 11-tap curvature: sum_{j=-5..5} r[i+j] - 10 r[i], squared
+    kernel = (1.0, 1.0, 1.0, 1.0, 1.0, -10.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    rz = jnp.where(ext.mask, r, 0.0)
+    acc = jnp.zeros_like(rz)
+    for j, kv in enumerate(kernel):
+        acc = acc + kv * jnp.roll(rz, 5 - j, axis=1)
+    curv = acc * acc
+
+    slot = jnp.arange(h)[None, :]
+    in_margin = (slot >= 5) & (slot < ext.count[:, None] - 5)
+    valid = ext.mask & in_margin
+
+    picked = ~valid
+
+    # occlusion: compare i and i+1 (compacted neighbors)
+    r_next = jnp.roll(r, -1, axis=1)
+    col = ext.col
+    col_next = jnp.roll(col, -1, axis=1)
+    col_diff = jnp.abs(col_next - col)
+    near_cols = col_diff < cfg.occlusion_col_diff
+    occl_fwd = near_cols & (r - r_next > cfg.occlusion_range_diff)  # i occluded side
+    occl_bwd = near_cols & (r_next - r > cfg.occlusion_range_diff)
+    # occl_fwd at i marks i-5..i ; occl_bwd at i marks i+1..i+6
+    mark = jnp.zeros_like(picked)
+    for d in range(0, 6):
+        mark = mark | jnp.roll(occl_fwd, -d, axis=1)  # mark[m] = fwd[m+d]
+    for d in range(1, 7):
+        mark = mark | jnp.roll(occl_bwd, d, axis=1)  # mark[m] = bwd[m-d]
+
+    # parallel beam: both compacted neighbors differ by > 2% of range
+    r_prev = jnp.roll(r, 1, axis=1)
+    diff1 = jnp.abs(r_prev - r)
+    diff2 = jnp.abs(r_next - r)
+    parallel = (diff1 > cfg.parallel_beam_ratio * r) & (diff2 > cfg.parallel_beam_ratio * r)
+
+    picked = picked | (mark & valid) | (parallel & valid)
+    curv = jnp.where(valid, curv, 0.0)
+    return curv, picked, valid
+
+
+def _sector_bounds(count: jnp.ndarray, n_sectors: int):
+    """Start/end compacted indices per sector (reference sp/ep computation).
+
+    start_i = count_start + 5 equivalent: sp = (s*(6-j) + e*j)/6 with
+    s = 4 (startRingIndex offset) and e = count - 6 (endRingIndex)."""
+    s = jnp.full_like(count, 4)
+    e = count - 6
+    bounds = []
+    for j in range(n_sectors):
+        sp = (s * (n_sectors - j) + e * j) // n_sectors
+        ep = (s * (n_sectors - 1 - j) + e * (j + 1)) // n_sectors - 1
+        bounds.append((sp, ep))
+    return bounds
+
+
+def _suppress_neighbors(picked_row, col_row, ind, col_diff_limit):
+    """Mark +-5 compacted neighbors of `ind` as picked, stopping at column
+    gaps > col_diff_limit (reference extractFeatures inner loops)."""
+    h = picked_row.shape[0]
+    idx = jnp.arange(h)
+    # forward l = 1..5: stop at first gap
+    colv = col_row
+    fwd_ok = jnp.ones((5,), dtype=bool)
+    marks = picked_row
+
+    def body(l, state):
+        marks, alive_f, alive_b = state
+        # forward neighbor ind+l vs ind+l-1
+        j = ind + l
+        gap_f = jnp.abs(colv[jnp.clip(j, 0, h - 1)] - colv[jnp.clip(j - 1, 0, h - 1)])
+        alive_f = alive_f & (gap_f <= col_diff_limit) & (j < h)
+        marks = jnp.where(alive_f, marks.at[jnp.clip(j, 0, h - 1)].set(True), marks)
+        # backward neighbor ind-l vs ind-l+1
+        k = ind - l
+        gap_b = jnp.abs(colv[jnp.clip(k, 0, h - 1)] - colv[jnp.clip(k + 1, 0, h - 1)])
+        alive_b = alive_b & (gap_b <= col_diff_limit) & (k >= 0)
+        marks = jnp.where(alive_b, marks.at[jnp.clip(k, 0, h - 1)].set(True), marks)
+        return marks, alive_f, alive_b
+
+    marks, _, _ = jax.lax.fori_loop(
+        1, 6, body, (marks, jnp.bool_(True), jnp.bool_(True))
+    )
+    return marks
+
+
+def _extract_row(curv, picked, col, cfg: FeatureConfig, count):
+    """Greedy corner + surf selection for one ring. Returns per-point labels:
+    1 = corner, 2 = sharp corner (subset), -1 = surf-picked, plus sharp-surf
+    flags; label 0 everywhere else (=> surface cloud)."""
+    h = curv.shape[0]
+    corner_flag = jnp.zeros((h,), dtype=bool)
+    sharp_corner_flag = jnp.zeros((h,), dtype=bool)
+    sharp_surf_flag = jnp.zeros((h,), dtype=bool)
+    label_neg = jnp.zeros((h,), dtype=bool)  # cloudLabel == -1
+
+    idx = jnp.arange(h)
+    bounds = _sector_bounds(count, cfg.sectors_per_ring)
+
+    for sp, ep in bounds:
+        in_sector = (idx >= sp) & (idx <= ep)
+
+        # ---- corners: descending curvature, up to max_corners picks ----
+        def corner_body(k, state):
+            picked_, cf, scf = state
+            cand = in_sector & ~picked_ & (curv > cfg.edge_threshold)
+            score = jnp.where(cand, curv, -_BIG)
+            ind = jnp.argmax(score)
+            ok = score[ind] > -_BIG
+            cf = jnp.where(ok, cf.at[ind].set(True), cf)
+            scf = jnp.where(ok & (k < cfg.max_sharp_corners_per_sector),
+                            scf.at[ind].set(True), scf)
+            new_picked = _suppress_neighbors(
+                picked_.at[ind].set(True), col, ind, cfg.occlusion_col_diff
+            )
+            picked_ = jnp.where(ok, new_picked, picked_)
+            return picked_, cf, scf
+
+        picked, corner_flag, sharp_corner_flag = jax.lax.fori_loop(
+            0, cfg.max_corners_per_sector, corner_body,
+            (picked, corner_flag, sharp_corner_flag),
+        )
+
+        # ---- surfs: ascending curvature; every pick suppresses neighbors,
+        # first max_sharp_surfs become the sharp surf cloud. The reference
+        # iterates ALL sector points; picks are those below surfThreshold.
+        # Only a bounded number of picks can succeed before suppression
+        # exhausts candidates; 4x sharp budget covers the reference's
+        # effective pick count (validated in tests). ----
+        def surf_body(k, state):
+            picked_, ln, ssf = state
+            cand = in_sector & ~picked_ & (curv < cfg.surf_threshold)
+            score = jnp.where(cand, curv, _BIG)
+            ind = jnp.argmin(score)
+            ok = score[ind] < _BIG
+            ln = jnp.where(ok, ln.at[ind].set(True), ln)
+            ssf = jnp.where(ok & (k < cfg.max_sharp_surfs_per_sector),
+                            ssf.at[ind].set(True), ssf)
+            new_picked = _suppress_neighbors(
+                picked_.at[ind].set(True), col, ind, cfg.occlusion_col_diff
+            )
+            picked_ = jnp.where(ok, new_picked, picked_)
+            return picked_, ln, ssf
+
+        picked, label_neg, sharp_surf_flag = jax.lax.fori_loop(
+            0, cfg.max_sharp_surfs_per_sector * 4, surf_body,
+            (picked, label_neg, sharp_surf_flag),
+        )
+
+    in_any_sector = jnp.zeros((h,), dtype=bool)
+    for sp, ep in bounds:
+        in_any_sector = in_any_sector | ((idx >= sp) & (idx <= ep))
+    surf_flag = in_any_sector & ~corner_flag  # cloudLabel <= 0
+    return corner_flag, sharp_corner_flag, surf_flag, sharp_surf_flag
+
+
+def _gather_flagged(xyz, inten, flag, capacity):
+    """Compact flagged points (N,H,...) into a fixed-capacity buffer."""
+    n, h = flag.shape
+    flat_flag = flag.reshape(-1)
+    flat_xyz = xyz.reshape(-1, 3)
+    flat_int = inten.reshape(-1)
+    pos = jnp.cumsum(flat_flag) - 1
+    dest = jnp.where(flat_flag & (pos < capacity), pos, capacity)
+    buf = jnp.zeros((capacity + 1, 3), dtype=xyz.dtype).at[dest].set(flat_xyz)[:capacity]
+    ibuf = jnp.zeros((capacity + 1,), dtype=inten.dtype).at[dest].set(flat_int)[:capacity]
+    cnt = jnp.minimum(jnp.sum(flat_flag.astype(jnp.int32)), capacity)
+    mask = jnp.arange(capacity) < cnt
+    return buf, ibuf, mask
+
+
+def extract_features(ext: ExtractedCloud, cfg: FeatureConfig) -> FeatureClouds:
+    """Full feature extraction over all rings."""
+    curv, picked, _valid = curvature_and_occlusion(ext, cfg)
+
+    row_fn = jax.vmap(lambda c, p, co, ct: _extract_row(c, p, co, cfg, ct))
+    corner_f, sharp_corner_f, surf_f, sharp_surf_f = row_fn(
+        curv, picked, ext.col, ext.count
+    )
+
+    corner_xyz, corner_int, corner_mask = _gather_flagged(
+        ext.xyz, ext.intensity, corner_f, cfg.max_corner_points
+    )
+    sharp_xyz, _si, sharp_mask = _gather_flagged(
+        ext.xyz, ext.intensity, sharp_corner_f, cfg.max_sharp_corner_points
+    )
+    surf_xyz, surf_int, surf_mask = _gather_flagged(
+        ext.xyz, ext.intensity, surf_f, cfg.max_surf_points
+    )
+    ssurf_xyz, _ssi, ssurf_mask = _gather_flagged(
+        ext.xyz, ext.intensity, sharp_surf_f, cfg.max_sharp_surf_points
+    )
+    return FeatureClouds(
+        corner_xyz=corner_xyz,
+        corner_mask=corner_mask,
+        sharp_corner_xyz=sharp_xyz,
+        sharp_corner_mask=sharp_mask,
+        surf_xyz=surf_xyz,
+        surf_mask=surf_mask,
+        sharp_surf_xyz=ssurf_xyz,
+        sharp_surf_mask=ssurf_mask,
+        corner_intensity=corner_int,
+        surf_intensity=surf_int,
+    )

@@ -1,16 +1,25 @@
 """Test harness: force CPU with 8 virtual devices so sharding tests run
-without TPU hardware, and keep everything deterministic."""
+without TPU hardware, and keep everything deterministic.
+
+Note: this environment may register a TPU PJRT plugin from sitecustomize
+before pytest starts, so env vars alone are too late — we switch the platform
+via jax.config after import instead (the CPU client is created lazily, so the
+XLA_FLAGS device-count knob still applies).
+"""
 
 import os
 
-# Must run before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
 
 import numpy as np
 import pytest

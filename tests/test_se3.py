@@ -46,8 +46,8 @@ def test_transform_inverse(rng):
     T = se3.pose_to_matrix(jnp.asarray(pose))
     TI = se3.transform_inverse(T)
     prod = np.asarray(T @ TI)
-    # f32 with +-50 m translations: absolute error ~|t|*eps ~ 1e-3
-    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(4), prod.shape), atol=5e-3)
+    # f32 with +-50 m translations: absolute error ~|t|*eps
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(4), prod.shape), atol=1e-4)
 
 
 def test_so3_exp_log_roundtrip(rng):
