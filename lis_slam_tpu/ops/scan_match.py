@@ -1,0 +1,261 @@
+"""Scan-to-map matching: LOAM point-to-line / point-to-plane Gauss-Newton.
+
+TPU-native rebuild of the reference hot loop (3 copies in the reference):
+ - `cornerOptimization` (odomEstimationNode.cpp:633-747): 5-NN in the corner
+   map -> 3x3 covariance eigendecomposition -> line check (l1 > 3*l2) ->
+   point-to-line residual with direction coefficients,
+ - `surfOptimization` (:749-827): 5-NN -> plane fit (A x = -1) -> planarity
+   check (all residents within 0.2) -> point-to-plane residual,
+ - `combineOptimizationCoeffs` + `LMOptimization` (:829-974): stack weighted
+   Jacobian rows, solve the 6x6 normal equations, degeneracy clamp by
+   eigenvalue threshold, convergence on deltaR < 0.005 deg / deltaT < 0.05 cm,
+ - semantic weighting w = 2 - LabelSorce[label] multiplied into the
+   coefficients (subMapOptmizationNode.cpp:1671-1676,1795-1800).
+
+Differences from the reference, by design (documented):
+ - The Jacobian d(residual)/d(roll,pitch,yaw) is the exact analytic
+   derivative of R = Rz Ry Rx in the lidar frame, instead of the reference's
+   axis-permuted "camera convention" approximation inherited from LOAM. The
+   residuals are identical, so both iterations share fixed points; the exact
+   Jacobian converges at least as fast.
+ - All points are processed in fixed-shape masked batches; the per-point
+   OpenMP loop becomes one fused vectorized pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MatchingConfig
+from ..utils import lin, se3
+from . import knn
+
+
+class Correspondences(NamedTuple):
+    """Weighted residual rows: n . p_world + offset = residual."""
+
+    coeff: jnp.ndarray  # (M, 3) weighted direction/normal (s * w * n)
+    residual: jnp.ndarray  # (M,) weighted signed distance (s * w * dist)
+    valid: jnp.ndarray  # (M,) bool
+
+
+def corner_correspondences(
+    pts_world: jnp.ndarray,  # (Q, 3) current corner points in map frame
+    mask: jnp.ndarray,  # (Q,)
+    map_pts: jnp.ndarray,  # (N, 3)
+    nn_sqd: jnp.ndarray,  # (Q, 5)
+    nn_idx: jnp.ndarray,  # (Q, 5)
+    cfg: MatchingConfig,
+    sem_weight: jnp.ndarray | None = None,  # (Q,)
+) -> Correspondences:
+    """Point-to-line residuals via 5-point covariance eigen-analysis."""
+    near = map_pts[nn_idx]  # (Q, 5, 3)
+    gate = mask & (nn_sqd[:, 4] < cfg.nn_max_sq_dist)
+
+    center = jnp.mean(near, axis=1)  # (Q, 3)
+    diff = near - center[:, None, :]
+    cov = jnp.einsum("qki,qkj->qij", diff, diff) / 5.0
+    evals = lin.eigvalsh3(cov)
+    is_line = evals[:, 2] > cfg.eigen_ratio_line * evals[:, 1]
+    direction = lin.principal_eigvec3(cov, evals)  # (Q, 3) unit line direction
+
+    # Reference builds two virtual points at center +- 0.1 * direction and
+    # evaluates the triangle-area distance formula; algebraically the
+    # residual is |(p - c) x u| and the coefficient vector is the unit
+    # gradient of that distance.
+    p = pts_world
+    pc = p - center
+    cx = jnp.cross(pc, direction)  # (Q, 3)
+    dist = jnp.linalg.norm(cx, axis=-1)  # point-to-line distance (= ld2)
+    # gradient of dist wrt p: (u x (p-c) x u scaled) -> cross(direction, cx)/dist
+    grad = jnp.cross(direction, cx) / jnp.maximum(dist, 1e-12)[:, None]
+    # reference sign convention: coefficients are the descent direction of
+    # the POSITIVE distance; residual is the distance itself
+    s = 1.0 - cfg.residual_damping * jnp.abs(dist)
+    w = jnp.ones_like(s) if sem_weight is None else sem_weight
+    ok = gate & is_line & (s > cfg.min_residual_weight)
+    return Correspondences(
+        coeff=(s * w)[:, None] * grad,
+        residual=s * w * dist,
+        valid=ok,
+    )
+
+
+def surf_correspondences(
+    pts_world: jnp.ndarray,
+    mask: jnp.ndarray,
+    map_pts: jnp.ndarray,
+    nn_sqd: jnp.ndarray,
+    nn_idx: jnp.ndarray,
+    cfg: MatchingConfig,
+    sem_weight: jnp.ndarray | None = None,
+) -> Correspondences:
+    """Point-to-plane residuals via 5-point least-squares plane fit."""
+    near = map_pts[nn_idx]  # (Q, 5, 3)
+    gate = mask & (nn_sqd[:, 4] < cfg.nn_max_sq_dist)
+
+    n, d = lin.solve_plane_lsq(near)  # unit normal, offset
+    # planarity: every support point within tolerance of the plane
+    plane_res = jnp.abs(jnp.einsum("qkj,qj->qk", near, n) + d[:, None])
+    plane_ok = jnp.all(plane_res <= cfg.plane_fit_tolerance, axis=1)
+
+    pd2 = jnp.einsum("qj,qj->q", pts_world, n) + d  # signed distance
+    # reference: s = 1 - 0.9 |pd2| / sqrt(|p_world|)   (map-frame norm,
+    # faithful to LIO-SAM/odomEstimationNode.cpp:809)
+    range_damp = jnp.sqrt(
+        jnp.sqrt(jnp.sum(pts_world * pts_world, axis=-1) + 1e-12)
+    )
+    s = 1.0 - cfg.residual_damping * jnp.abs(pd2) / jnp.maximum(range_damp, 1e-6)
+    w = jnp.ones_like(s) if sem_weight is None else sem_weight
+    ok = gate & plane_ok & (s > cfg.min_residual_weight)
+    return Correspondences(
+        coeff=(s * w)[:, None] * n,
+        residual=s * w * pd2,
+        valid=ok,
+    )
+
+
+def _rotation_jacobian_mats(rpy: jnp.ndarray):
+    """d(Rz Ry Rx)/d{roll,pitch,yaw} as three 3x3 matrices."""
+    roll, pitch, yaw = rpy[0], rpy[1], rpy[2]
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    Rx = jnp.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = jnp.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = jnp.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    dRx = jnp.array([[0, 0, 0], [0, -sr, -cr], [0, cr, -sr]])
+    dRy = jnp.array([[-sp, 0, cp], [0, 0, 0], [-cp, 0, -sp]])
+    dRz = jnp.array([[-sy, -cy, 0], [cy, -sy, 0], [0, 0, 0]])
+    M_roll = Rz @ Ry @ dRx
+    M_pitch = Rz @ dRy @ Rx
+    M_yaw = dRz @ Ry @ Rx
+    return M_roll, M_pitch, M_yaw
+
+
+class GNState(NamedTuple):
+    pose: jnp.ndarray  # (6,) [roll,pitch,yaw,x,y,z]
+    proj: jnp.ndarray  # (6, 6) degeneracy projection matrix
+    degenerate: jnp.ndarray  # () bool
+    converged: jnp.ndarray  # () bool
+    n_valid: jnp.ndarray  # () int32
+    it: jnp.ndarray  # () int32
+
+
+def gauss_newton_update(
+    pose: jnp.ndarray,
+    pts_sensor: jnp.ndarray,  # (M, 3) stacked corner+surf sensor-frame points
+    coeff: jnp.ndarray,  # (M, 3)
+    residual: jnp.ndarray,  # (M,)
+    valid: jnp.ndarray,  # (M,)
+    it: jnp.ndarray,
+    proj_prev: jnp.ndarray,
+    degen_prev: jnp.ndarray,
+    cfg: MatchingConfig,
+):
+    """One LMOptimization step. Returns (new_pose, proj, degenerate,
+    converged, n_valid)."""
+    M_roll, M_pitch, M_yaw = _rotation_jacobian_mats(pose[:3])
+    vm = valid[:, None]
+    p = jnp.where(vm, pts_sensor, 0.0)
+    c = jnp.where(vm, coeff, 0.0)
+    r = jnp.where(valid, residual, 0.0)
+
+    j_roll = jnp.einsum("mj,jk,mk->m", c, M_roll, p)
+    j_pitch = jnp.einsum("mj,jk,mk->m", c, M_pitch, p)
+    j_yaw = jnp.einsum("mj,jk,mk->m", c, M_yaw, p)
+    J = jnp.concatenate([
+        j_roll[:, None], j_pitch[:, None], j_yaw[:, None], c
+    ], axis=1)  # (M, 6)
+
+    H = J.T @ J
+    g = J.T @ (-r)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    x = jnp.linalg.solve(H + 1e-9 * jnp.eye(6), g)
+
+    # Degeneracy analysis. The reference computes this once at iterCount==0
+    # (an eigendecomposition was expensive on CPU); on TPU the 6x6 eigh is
+    # free, so we recompute every iteration — identical behavior in
+    # structurally degenerate scenes, and the clamp releases as
+    # correspondences accumulate during early iterations.
+    evals, evecs = jnp.linalg.eigh(H)  # ascending, columns are vecs
+    keep = (evals >= cfg.degeneracy_eigen_threshold).astype(H.dtype)
+    proj = evecs @ jnp.diag(keep) @ evecs.T
+    degenerate = jnp.any(keep < 0.5)
+    x = jnp.where(degenerate, proj @ x, x)
+
+    enough = n_valid >= cfg.min_valid_points
+    x = jnp.where(enough, x, jnp.zeros(6))
+    new_pose = pose + x
+
+    delta_r = jnp.rad2deg(jnp.linalg.norm(x[:3]))
+    delta_t = 100.0 * jnp.linalg.norm(x[3:])
+    converged = (
+        (delta_r < cfg.converge_delta_r_deg) & (delta_t < cfg.converge_delta_t_cm)
+    ) | ~enough
+    return new_pose, proj, degenerate, converged, n_valid
+
+
+def scan_to_map(
+    pose0: jnp.ndarray,  # (6,) initial guess
+    corner_pts: jnp.ndarray,  # (Qc, 3) sensor frame
+    corner_mask: jnp.ndarray,
+    surf_pts: jnp.ndarray,  # (Qs, 3)
+    surf_mask: jnp.ndarray,
+    corner_map: jnp.ndarray,  # (Nc, 3)
+    corner_hash: knn.VoxelHashMap,
+    surf_map: jnp.ndarray,  # (Ns, 3)
+    surf_hash: knn.VoxelHashMap,
+    cfg: MatchingConfig,
+    max_iterations: int,
+    corner_sem_weight: jnp.ndarray | None = None,
+    surf_sem_weight: jnp.ndarray | None = None,
+) -> GNState:
+    """Full scan-to-map optimization (scan2SubMapOptimization rebuild).
+
+    Correspondences are re-searched every iteration against the fixed map
+    hash, exactly like the reference re-queries its per-scan KD-trees.
+    """
+
+    def cond(state: GNState):
+        return (state.it < max_iterations) & ~state.converged
+
+    def body(state: GNState):
+        T = se3.pose_to_matrix(state.pose)
+        cw = se3.transform_points(T, corner_pts)
+        sw = se3.transform_points(T, surf_pts)
+        cd, ci = knn.knn_hash(cw, corner_hash, k=5)
+        sd, si = knn.knn_hash(sw, surf_hash, k=5)
+        cc = corner_correspondences(
+            cw, corner_mask, corner_map, cd, ci, cfg, corner_sem_weight
+        )
+        sc = surf_correspondences(
+            sw, surf_mask, surf_map, sd, si, cfg, surf_sem_weight
+        )
+        pts = jnp.concatenate([corner_pts, surf_pts], axis=0)
+        coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
+        res = jnp.concatenate([cc.residual, sc.residual], axis=0)
+        val = jnp.concatenate([cc.valid, sc.valid], axis=0)
+        new_pose, proj, degen, conv, n_valid = gauss_newton_update(
+            state.pose, pts, coeff, res, val, state.it, state.proj,
+            state.degenerate, cfg,
+        )
+        return GNState(
+            pose=new_pose, proj=proj, degenerate=degen, converged=conv,
+            n_valid=n_valid, it=state.it + 1,
+        )
+
+    init = GNState(
+        pose=pose0,
+        proj=jnp.eye(6),
+        degenerate=jnp.bool_(False),
+        converged=jnp.bool_(False),
+        n_valid=jnp.int32(0),
+        it=jnp.int32(0),
+    )
+    return jax.lax.while_loop(cond, body, init)

@@ -1,0 +1,100 @@
+"""Fixed-capacity voxel-grid downsampling (scatter/segment based, no PCL).
+
+Replaces pcl::VoxelGrid uses throughout the reference (odometry map
+downsampling odomEstimationNode.cpp:195-205, per-class keyframe downsampling
+subMapOptmizationNode.cpp:807-821, SubMapManager::voxel_downsample
+subMap.h:1161-1249) with a sort-by-voxel + segment-mean pass over padded
+buffers. Output is a fixed-capacity padded buffer: if the scene has more
+occupied voxels than `capacity`, a hash-ordered subset is kept (callers size
+capacity so this doesn't happen in practice; the count output lets tests
+detect overflow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+# Exact packed voxel key, collision-free within a 4096 x 4096 x 255 cell
+# window around the cloud's own min corner (e.g. 819 m x 819 m x 51 m at a
+# 0.2 m leaf) — far larger than any single downsample call's extent in this
+# system (sliding local maps are bbox-cropped to +-70 m, subMap.h:1125-1156).
+# Out-of-window stragglers clamp to the boundary cell.
+
+
+def _voxel_key(points: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> jnp.ndarray:
+    c = jnp.floor(points / leaf).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(mask[:, None], c, jnp.int32(2**30)), axis=0)
+    d = jnp.clip(c - cmin, 0, jnp.asarray([4095, 4095, 254], jnp.int32))
+    key = (
+        d[:, 0].astype(jnp.uint32)
+        | (d[:, 1].astype(jnp.uint32) << 12)
+        | (d[:, 2].astype(jnp.uint32) << 24)
+    )
+    return key
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+def voxel_downsample(
+    points: jnp.ndarray,  # (N, 3) padded
+    mask: jnp.ndarray,  # (N,) bool
+    leaf: float,
+    capacity: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Centroid-per-voxel downsample. Returns (points (C,3), mask (C,), count)."""
+    h = jnp.where(mask, _voxel_key(points, mask, leaf), _SENTINEL)
+    order = jnp.argsort(h)
+    hs = h[order]
+    ps = points[order]
+    ms = mask[order]
+    is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]]) & ms
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    dest = jnp.where(ms & (seg < capacity) & (seg >= 0), seg, capacity)
+    sums = jnp.zeros((capacity + 1, 3), points.dtype).at[dest].add(ps)
+    cnts = jnp.zeros((capacity + 1,), jnp.int32).at[dest].add(1)
+    out = sums[:capacity] / jnp.maximum(cnts[:capacity, None], 1)
+    out_mask = cnts[:capacity] > 0
+    n_vox = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
+    return out, out_mask, n_vox
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+def voxel_downsample_labeled(
+    points: jnp.ndarray,  # (N, 3)
+    labels: jnp.ndarray,  # (N,) int32
+    mask: jnp.ndarray,
+    leaf: float,
+    capacity: int,
+):
+    """Centroid downsample carrying a representative (max) label per voxel.
+    Matches the per-class use in the reference where clouds are already
+    split by class before filtering (labels homogeneous per call)."""
+    h = jnp.where(mask, _voxel_key(points, mask, leaf), _SENTINEL)
+    order = jnp.argsort(h)
+    hs = h[order]
+    ps = points[order]
+    ls = labels[order]
+    ms = mask[order]
+    is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]]) & ms
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    dest = jnp.where(ms & (seg < capacity) & (seg >= 0), seg, capacity)
+    sums = jnp.zeros((capacity + 1, 3), points.dtype).at[dest].add(ps)
+    cnts = jnp.zeros((capacity + 1,), jnp.int32).at[dest].add(1)
+    lab = jnp.full((capacity + 1,), -1, jnp.int32).at[dest].max(ls)
+    out = sums[:capacity] / jnp.maximum(cnts[:capacity, None], 1)
+    out_mask = cnts[:capacity] > 0
+    return out, lab[:capacity], out_mask
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_masked(points: jnp.ndarray, mask: jnp.ndarray, capacity: int):
+    """Pack masked rows of (N, 3) into a (capacity, 3) buffer (order kept)."""
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (pos < capacity), pos, capacity)
+    buf = jnp.zeros((capacity + 1, 3), points.dtype).at[dest].set(points)
+    cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    return buf[:capacity], jnp.arange(capacity) < cnt
