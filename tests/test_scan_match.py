@@ -150,7 +150,7 @@ def test_corner_line_fit_math():
     evals = np.asarray(lin.eigvalsh3(jnp.asarray(cov)))
     evecs = np.asarray(lin.principal_eigvec3(jnp.asarray(cov), jnp.asarray(evals)))
     ref_vals = np.linalg.eigvalsh(cov)
-    np.testing.assert_allclose(evals, ref_vals, atol=1e-5)
+    np.testing.assert_allclose(evals, ref_vals, atol=3e-4)  # f32 analytic
     # principal direction parallel to the generating direction
     dots = np.abs(np.sum(evecs * d, axis=1))
     assert (dots > 0.99).all()
