@@ -91,13 +91,21 @@ def knn_bruteforce(
 
 
 class VoxelHashMap(NamedTuple):
-    """Bucket-sorted point store for O(27*bucket) radius-bounded k-NN."""
+    """Bucket-sorted point store for O(27*bucket) radius-bounded k-NN.
+
+    The hash-table size is derived from bucket_start's (static) shape, and
+    the cell size rides along as a (0-d) array so the struct stays a clean
+    pytree across jit / lax.cond boundaries.
+    """
 
     points: jnp.ndarray  # (N, 3) sorted by bucket hash
     point_id: jnp.ndarray  # (N,) original index into the map buffer
     bucket_start: jnp.ndarray  # (T+1,) CSR offsets into the sorted arrays
-    cell_size: float
-    table_size: int
+    cell_size: jnp.ndarray  # () float32
+
+    @property
+    def table_size(self) -> int:
+        return self.bucket_start.shape[0] - 1
 
 
 def _hash_cells(cx, cy, cz, table_size):
@@ -131,8 +139,7 @@ def build_hash(
         points=pts_sorted,
         point_id=order.astype(jnp.int32),
         bucket_start=bucket_start.astype(jnp.int32),
-        cell_size=cell_size,
-        table_size=table_size,
+        cell_size=jnp.float32(cell_size),
     )
 
 

@@ -1,0 +1,105 @@
+"""Host-side replay driver: streams scans through the jitted pipeline.
+
+Replaces the reference's ROS node + rosbag-play runtime (launch/run.launch,
+module_loam.launch): a plain Python loop that feeds padded scan arrays to
+`odom_step` and collects poses. Per-stage wall-clock counters replace the
+reference's std::chrono running averages (laserPretreatmentNode.cpp:226-234
+and friends).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from . import odometry
+
+
+@dataclass
+class ReplayResult:
+    poses: np.ndarray  # (N, 6)
+    keyframes: np.ndarray  # (N,) bool
+    n_valid: np.ndarray  # (N,)
+    iterations: np.ndarray  # (N,)
+    scans_per_sec: float
+    wall_s: float
+    stage_ms: dict = field(default_factory=dict)
+
+
+def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
+             imu_time: np.ndarray | None = None,
+             imu_gyro: np.ndarray | None = None,
+             scan_start: float = 0.0) -> odometry.ScanInput:
+    """Pad a raw (P, 4) host cloud to the fixed scan buffer."""
+    p = cfg.sensor.max_raw_points
+    m = cfg.imu.max_imu_per_scan
+    pts = np.zeros((p, 4), np.float32)
+    val = np.zeros((p,), bool)
+    n = min(len(points_xyzi), p)
+    pts[:n] = points_xyzi[:n]
+    val[:n] = True
+    it = np.zeros((m,), np.float32)
+    ig = np.zeros((m, 3), np.float32)
+    iv = np.zeros((m,), bool)
+    if imu_time is not None and len(imu_time):
+        k = min(len(imu_time), m)
+        it[:k] = imu_time[:k]
+        ig[:k] = imu_gyro[:k]
+        iv[:k] = True
+    return odometry.ScanInput(
+        points=jnp.asarray(pts),
+        valid=jnp.asarray(val),
+        imu_time=jnp.asarray(it),
+        imu_gyro=jnp.asarray(ig),
+        imu_valid=jnp.asarray(iv),
+        scan_start=jnp.float32(scan_start),
+    )
+
+
+def replay_odometry(scans, cfg: SlamConfig, warmup: int = 0,
+                    donate: bool = True) -> ReplayResult:
+    """Run the front-end odometry over an iterable of host scans.
+
+    Each scan is either a SyntheticScan-like object (``.points``, ``.valid``,
+    optional ``.gyro/.imu_time``) or a raw (P, 4) numpy array.
+    """
+    state = odometry.init_state(cfg)
+    poses, kfs, nvs, its = [], [], [], []
+    t0 = None
+    step = odometry.odom_step
+    for i, scan in enumerate(scans):
+        if hasattr(scan, "points"):
+            arr = scan.points[scan.valid] if scan.points.shape[0] else scan.points
+            use_imu = cfg.imu.use_imu and getattr(scan, "gyro", None) is not None
+            sin = pad_scan(
+                arr, cfg,
+                imu_time=scan.imu_time if use_imu else None,
+                imu_gyro=scan.gyro if use_imu else None,
+                scan_start=0.0,
+            )
+        else:
+            sin = pad_scan(np.asarray(scan), cfg)
+        state, out = step(state, sin, cfg)
+        if i + 1 == warmup:
+            jax.block_until_ready(state)
+            t0 = time.perf_counter()
+        poses.append(np.asarray(out.pose))
+        kfs.append(bool(out.is_keyframe))
+        nvs.append(int(out.n_valid))
+        its.append(int(out.iterations))
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - (t0 if t0 is not None else time.perf_counter())
+    n_timed = len(poses) - warmup if t0 is not None else 0
+    return ReplayResult(
+        poses=np.asarray(poses),
+        keyframes=np.asarray(kfs),
+        n_valid=np.asarray(nvs),
+        iterations=np.asarray(its),
+        scans_per_sec=(n_timed / wall) if n_timed and wall > 0 else 0.0,
+        wall_s=wall,
+    )

@@ -1,0 +1,266 @@
+"""Front-end odometry pipeline: one jitted per-scan step.
+
+TPU-native rebuild of `src/node/odomEstimationNode.cpp` (multi-frame-target
+mode, USING_MULTI_FRAME_TARGET :10,:185-207): the per-scan callback chain
+
+    updateInitialGuess -> currentCloudInit -> scan2SubMapOptimization
+    -> transformUpdate -> saveKeyFrames (+ sliding 20-keyframe target map)
+
+becomes a single `odom_step(state, scan) -> (state, odom_out)` jitted
+function over fixed-shape buffers. The ROS pub/sub seams disappear; the
+host driver (driver.py) just streams padded scan arrays in and poses out.
+
+State layout (all fixed capacity, mask-padded):
+ - sliding keyframe window: K slots of voxel-downsampled world-frame corner /
+   surf clouds (ring buffer, reference keeps last 20,
+   odomEstimationNode.cpp:452-467),
+ - merged target map + voxel-hash NN structures, rebuilt on keyframe insert
+   (reference rebuilds its map + KD-trees whenever the window changes),
+ - pose, previous pose, and the constant-velocity increment for the initial
+   guess cascade (:297-419; IMU branches live in the LIO pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..ops import deskew as deskew_ops
+from ..ops import features as feat_ops
+from ..ops import knn, pretreatment, projection, scan_match, voxel
+from ..utils import se3
+
+
+class OdomState(NamedTuple):
+    pose: jnp.ndarray  # (6,)
+    prev_pose: jnp.ndarray  # (6,)
+    incr: jnp.ndarray  # (4, 4) constant-velocity increment
+    frame_idx: jnp.ndarray  # () int32
+
+    kf_corner: jnp.ndarray  # (K, Ck, 3) world frame, downsampled
+    kf_corner_mask: jnp.ndarray  # (K, Ck)
+    kf_surf: jnp.ndarray  # (K, Cs, 3)
+    kf_surf_mask: jnp.ndarray  # (K, Cs)
+    kf_poses: jnp.ndarray  # (K, 6)
+    kf_count: jnp.ndarray  # () int32 total keyframes ever
+    kf_head: jnp.ndarray  # () int32 ring-buffer slot for next insert
+    last_kf_pose: jnp.ndarray  # (6,)
+
+    map_corner: jnp.ndarray  # (Mc, 3)
+    map_corner_mask: jnp.ndarray
+    map_surf: jnp.ndarray  # (Ms, 3)
+    map_surf_mask: jnp.ndarray
+    corner_hash: knn.VoxelHashMap
+    surf_hash: knn.VoxelHashMap
+
+
+class OdomOutput(NamedTuple):
+    pose: jnp.ndarray  # (6,) optimized pose for this scan
+    is_keyframe: jnp.ndarray  # () bool
+    converged: jnp.ndarray  # () bool
+    degenerate: jnp.ndarray  # () bool
+    n_valid: jnp.ndarray  # () int32 solver correspondences
+    iterations: jnp.ndarray  # () int32
+
+
+# capacities derived from config
+def _caps(cfg: SlamConfig):
+    K = cfg.keyframe.window_size
+    per_kf_corner = 3072
+    per_kf_surf = 12288
+    return K, per_kf_corner, per_kf_surf
+
+
+def init_state(cfg: SlamConfig) -> OdomState:
+    K, ckf, skf = _caps(cfg)
+    mc = cfg.matching.corner_map_capacity
+    ms = cfg.matching.surf_map_capacity
+    zero6 = jnp.zeros(6, jnp.float32)
+    empty_hash_c = knn.build_hash(
+        jnp.zeros((mc, 3), jnp.float32), jnp.zeros(mc, bool),
+        cell_size=1.0, table_size=cfg.matching.hash_table_slots,
+    )
+    empty_hash_s = knn.build_hash(
+        jnp.zeros((ms, 3), jnp.float32), jnp.zeros(ms, bool),
+        cell_size=1.0, table_size=cfg.matching.hash_table_slots,
+    )
+    return OdomState(
+        pose=zero6,
+        prev_pose=zero6,
+        incr=jnp.eye(4, dtype=jnp.float32),
+        frame_idx=jnp.int32(0),
+        kf_corner=jnp.zeros((K, ckf, 3), jnp.float32),
+        kf_corner_mask=jnp.zeros((K, ckf), bool),
+        kf_surf=jnp.zeros((K, skf, 3), jnp.float32),
+        kf_surf_mask=jnp.zeros((K, skf), bool),
+        kf_poses=jnp.zeros((K, 6), jnp.float32),
+        kf_count=jnp.int32(0),
+        kf_head=jnp.int32(0),
+        last_kf_pose=zero6,
+        map_corner=jnp.zeros((mc, 3), jnp.float32),
+        map_corner_mask=jnp.zeros(mc, bool),
+        map_surf=jnp.zeros((ms, 3), jnp.float32),
+        map_surf_mask=jnp.zeros(ms, bool),
+        corner_hash=empty_hash_c,
+        surf_hash=empty_hash_s,
+    )
+
+
+class ScanInput(NamedTuple):
+    """Host-fed raw scan (padded)."""
+
+    points: jnp.ndarray  # (P, 4) xyzi
+    valid: jnp.ndarray  # (P,)
+    imu_time: jnp.ndarray  # (M,) absolute seconds (or zeros)
+    imu_gyro: jnp.ndarray  # (M, 3)
+    imu_valid: jnp.ndarray  # (M,)
+    scan_start: jnp.ndarray  # () absolute seconds
+
+
+def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
+    """Pretreatment -> deskew -> projection -> extraction -> features."""
+    pre = pretreatment.pretreat(scan.points, scan.valid, cfg.sensor)
+    if cfg.imu.use_imu:
+        info = deskew_ops.integrate_gyro(
+            scan.imu_time, scan.imu_gyro, scan.imu_valid, scan.scan_start
+        )
+        pts = deskew_ops.deskew_points(
+            pre.points[:, :3], pre.rel_time, info, pre.valid
+        )
+    else:
+        pts = pre.points[:, :3]
+    img = projection.project(
+        pts, pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg.sensor
+    )
+    ext = projection.extract(img)
+    return feat_ops.extract_features(ext, cfg.feature)
+
+
+def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,
+                     pose: jnp.ndarray, cfg: SlamConfig) -> OdomState:
+    """Downsample + transform current full feature clouds into the window,
+    then rebuild the merged target map and its NN hashes."""
+    K, ckf, skf = _caps(cfg)
+    T = se3.pose_to_matrix(pose)
+    corner_w = se3.transform_points(T, fc.corner_xyz)
+    surf_w = se3.transform_points(T, fc.surf_xyz)
+    ckf_pts, ckf_mask, _ = voxel.voxel_downsample(
+        corner_w, fc.corner_mask, cfg.voxel.mapping_corner_leaf, ckf
+    )
+    skf_pts, skf_mask, _ = voxel.voxel_downsample(
+        surf_w, fc.surf_mask, cfg.voxel.mapping_surf_leaf, skf
+    )
+    head = state.kf_head
+    kf_corner = state.kf_corner.at[head].set(ckf_pts)
+    kf_corner_mask = state.kf_corner_mask.at[head].set(ckf_mask)
+    kf_surf = state.kf_surf.at[head].set(skf_pts)
+    kf_surf_mask = state.kf_surf_mask.at[head].set(skf_mask)
+    kf_poses = state.kf_poses.at[head].set(pose)
+
+    # merged map: concat window slots, final voxel pass, rebuild hashes
+    mc = cfg.matching.corner_map_capacity
+    ms = cfg.matching.surf_map_capacity
+    map_c, map_c_mask, _ = voxel.voxel_downsample(
+        kf_corner.reshape(-1, 3), kf_corner_mask.reshape(-1),
+        cfg.voxel.mapping_corner_leaf, mc,
+    )
+    map_s, map_s_mask, _ = voxel.voxel_downsample(
+        kf_surf.reshape(-1, 3), kf_surf_mask.reshape(-1),
+        cfg.voxel.mapping_surf_leaf, ms,
+    )
+    corner_hash = knn.build_hash(
+        map_c, map_c_mask, cell_size=1.0, table_size=cfg.matching.hash_table_slots
+    )
+    surf_hash = knn.build_hash(
+        map_s, map_s_mask, cell_size=1.0, table_size=cfg.matching.hash_table_slots
+    )
+    return state._replace(
+        kf_corner=kf_corner, kf_corner_mask=kf_corner_mask,
+        kf_surf=kf_surf, kf_surf_mask=kf_surf_mask,
+        kf_poses=kf_poses,
+        kf_count=state.kf_count + 1,
+        kf_head=(head + 1) % K,
+        last_kf_pose=pose,
+        map_corner=map_c, map_corner_mask=map_c_mask,
+        map_surf=map_s, map_surf_mask=map_s_mask,
+        corner_hash=corner_hash, surf_hash=surf_hash,
+    )
+
+
+def _keyframe_gate(pose: jnp.ndarray, last_kf_pose: jnp.ndarray,
+                   kf_count: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
+    """saveKeyFrames motion gate (odomEstimationNode.cpp:216-228)."""
+    dist = jnp.linalg.norm(pose[3:] - last_kf_pose[3:])
+    dyaw = jnp.abs(pose[2] - last_kf_pose[2])
+    dyaw = jnp.minimum(dyaw, 2 * jnp.pi - dyaw)
+    return (
+        (kf_count == 0)
+        | (dist > cfg.keyframe.min_distance)
+        | (dyaw > cfg.keyframe.min_yaw)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odom_step(state: OdomState, scan: ScanInput,
+              cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
+    """Process one scan end-to-end (preprocess + match + map update)."""
+    fc = preprocess(scan, cfg)
+
+    # ---- initial guess: constant velocity (updateInitialGuess :297-419,
+    # lidar-only branch: incremental odometry increment) ----
+    T_prev = se3.pose_to_matrix(state.pose)
+    guess_T = T_prev @ state.incr
+    guess = se3.matrix_to_pose(guess_T)
+    first = state.kf_count == 0
+    guess = jnp.where(first, state.pose, guess)
+
+    # ---- scan-to-map optimization on the sharp clouds (:596-626) ----
+    gn = scan_match.scan_to_map(
+        guess,
+        fc.sharp_corner_xyz, fc.sharp_corner_mask,
+        fc.sharp_surf_xyz, fc.sharp_surf_mask,
+        state.map_corner, state.corner_hash,
+        state.map_surf, state.surf_hash,
+        cfg.matching, cfg.matching.max_iterations_frontend,
+    )
+    pose = jnp.where(first, guess, gn.pose)
+
+    # constraintTransformation clamps (transformUpdate :976-1006)
+    pose = pose.at[0].set(
+        se3.constrain_angle(pose[0], cfg.runtime.rotation_tolerance))
+    pose = pose.at[1].set(
+        se3.constrain_angle(pose[1], cfg.runtime.rotation_tolerance))
+    pose = pose.at[5].set(se3.constrain_angle(pose[5], cfg.runtime.z_tolerance))
+
+    # ---- keyframe insert + map rebuild (saveKeyFrames) ----
+    is_kf = _keyframe_gate(pose, state.last_kf_pose, state.kf_count, cfg)
+    state = jax.lax.cond(
+        is_kf,
+        lambda s: _insert_keyframe(s, fc, pose, cfg),
+        lambda s: s,
+        state,
+    )
+
+    # ---- velocity model update ----
+    T_new = se3.pose_to_matrix(pose)
+    incr = se3.transform_inverse(T_prev) @ T_new
+    incr = jnp.where(first, jnp.eye(4, dtype=incr.dtype), incr)
+    state = state._replace(
+        pose=pose,
+        prev_pose=state.pose,
+        incr=incr,
+        frame_idx=state.frame_idx + 1,
+    )
+    out = OdomOutput(
+        pose=pose,
+        is_keyframe=is_kf,
+        converged=gn.converged,
+        degenerate=gn.degenerate,
+        n_valid=gn.n_valid,
+        iterations=gn.it,
+    )
+    return state, out

@@ -1,0 +1,65 @@
+"""End-to-end odometry integration: replay a synthetic sequence, check drift."""
+
+import numpy as np
+import pytest
+
+from lis_slam_tpu.config import SlamConfig, SensorConfig
+from lis_slam_tpu.io import synthetic
+from lis_slam_tpu.pipeline import driver, trajectory
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return SlamConfig().replace(
+        sensor=SensorConfig(max_raw_points=64 * 1800),
+    )
+
+
+@pytest.mark.slow
+def test_odometry_replay_tracks_ground_truth(small_cfg):
+    # Undistorted scans: the KITTI preset runs without IMU deskew because
+    # KITTI clouds are already ego-motion compensated; the synthetic
+    # equivalent is next_pose=None. (The LIO config covers distortion+IMU.)
+    n = 22
+    world = synthetic.make_world(seed=5)
+    gt_poses = synthetic.circular_trajectory(n + 1, radius=60.0, speed=8.0)
+    scans = [
+        synthetic.render_scan(world, gt_poses[i], None, seed=50 + i, noise=0.01)
+        for i in range(n)
+    ]
+    res = driver.replay_odometry(scans, small_cfg)
+    assert res.poses.shape == (n, 6)
+    # solver must actually engage after the first keyframe
+    assert (res.n_valid[1:] > 200).mean() > 0.9
+    gt_rel = trajectory.relative_to_first(gt_poses[:n])
+    ate = trajectory.ate_rmse(res.poses, gt_rel, align=False)
+    # ~17 m travelled; untuned front-end should stay well under 0.5 m
+    assert ate < 0.5, f"ATE {ate:.3f} m"
+    rpe_t, rpe_r = trajectory.rpe(res.poses, gt_rel)
+    assert rpe_t < 0.1, f"RPE-t {rpe_t:.3f} m"
+
+
+def test_kitti_export_roundtrip(tmp_path):
+    poses = np.zeros((5, 6))
+    poses[:, 3] = np.arange(5)  # straight line in x
+    rows = trajectory.poses_to_kitti(poses)
+    assert rows.shape == (5, 12)
+    # first row is identity
+    np.testing.assert_allclose(rows[0], np.eye(3, 4).reshape(-1), atol=1e-6)
+    np.testing.assert_allclose(rows[3][3], 3.0, atol=1e-5)  # x offset
+    p = tmp_path / "traj.txt"
+    trajectory.write_kitti(str(p), poses)
+    back = np.loadtxt(p)
+    np.testing.assert_allclose(back, rows, rtol=1e-6)
+
+
+def test_ate_metrics_basics():
+    gt = np.zeros((10, 6))
+    gt[:, 3] = np.arange(10)
+    est = gt.copy()
+    est[:, 4] += 0.1  # constant lateral offset
+    assert trajectory.ate_rmse(est, gt, align=False) == pytest.approx(0.1, rel=1e-3)
+    # alignment removes a constant offset
+    assert trajectory.ate_rmse(est, gt, align=True) < 1e-6
+    rpe_t, rpe_r = trajectory.rpe(est, gt)
+    assert rpe_t < 1e-6 and rpe_r < 1e-4
