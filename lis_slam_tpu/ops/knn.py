@@ -153,7 +153,7 @@ def knn_hash(
     query: jnp.ndarray,  # (Q, 3)
     hmap: VoxelHashMap,
     k: int = 5,
-    bucket_cap: int = 32,
+    bucket_cap: int = 16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k-NN among the 27 cells around each query (exact within cell_size).
 

@@ -77,50 +77,55 @@ def project(
     # pass 1: min range per pixel
     best = jnp.full((n * h + 1,), _INVALID_RANGE, dtype=jnp.float32)
     best = best.at[flat].min(rng_masked)
-    # pass 2: winners scatter their payload (ties: arbitrary but consistent)
+    # pass 2: winners scatter their payload in ONE packed op (ties: arbitrary
+    # but consistent) — separate scatters per channel cost ~3x on TPU
     is_winner = ok & (rng_masked <= best[flat])
     flat_w = jnp.where(is_winner, flat, n * h)
-
-    def scatter(payload, init):
-        buf = jnp.full((n * h + 1,) + payload.shape[1:], init, dtype=payload.dtype)
-        return buf.at[flat_w].set(payload)[: n * h]
-
-    xyz_img = scatter(points, 0.0).reshape(n, h, 3)
-    int_img = scatter(intensity, 0.0).reshape(n, h)
-    time_img = scatter(rel_time, 0.0).reshape(n, h)
+    payload = jnp.concatenate(
+        [points, intensity[:, None], rel_time[:, None]], axis=1
+    )  # (P, 5)
+    img = jnp.zeros((n * h + 1, 5), jnp.float32).at[flat_w].set(payload)[: n * h]
+    xyz_img = img[:, :3].reshape(n, h, 3)
+    int_img = img[:, 3].reshape(n, h)
+    time_img = img[:, 4].reshape(n, h)
     rng_img = best[: n * h].reshape(n, h)
     mask = rng_img < _INVALID_RANGE * 0.5
     return RangeImage(rng=rng_img, xyz=xyz_img, intensity=int_img, time=time_img, mask=mask)
 
 
 def extract(img: RangeImage) -> ExtractedCloud:
-    """Per-row stable compaction of valid pixels (cloudExtraction)."""
+    """Per-row stable compaction of valid pixels (cloudExtraction).
+
+    One packed global scatter: destination = row * H + (per-row running
+    count), preserving column order within each row.
+    """
     n, h = img.rng.shape
     valid = img.mask
-
-    # stable order: valid pixels keep column order, pushed to the front
-    def compact_row(v, r, xyz, inten):
-        pos = jnp.cumsum(v) - 1  # destination for each valid pixel
-        dest = jnp.where(v, pos, h)  # spill
-        cols = jnp.arange(h, dtype=jnp.int32)
-
-        def scat(payload, init):
-            buf = jnp.full((h + 1,) + payload.shape[1:], init, dtype=payload.dtype)
-            return buf.at[dest].set(payload)[:h]
-
-        return (
-            scat(r, _INVALID_RANGE),
-            scat(xyz, 0.0),
-            scat(inten, 0.0),
-            scat(cols, -1),
-            jnp.sum(v.astype(jnp.int32)),
-        )
-
-    rng_c, xyz_c, int_c, col_c, count = jax.vmap(compact_row)(
-        valid, img.rng, img.xyz, img.intensity
-    )
+    pos = jnp.cumsum(valid, axis=1) - 1  # per-row destination
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, h), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
+    dest = jnp.where(valid, rows * h + pos, n * h).reshape(-1)
+    payload = jnp.concatenate(
+        [
+            img.rng[..., None],
+            img.xyz,
+            img.intensity[..., None],
+            cols[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    ).reshape(-1, 6)
+    buf = jnp.full((n * h + 1, 6), 0.0, jnp.float32).at[dest].set(payload)[: n * h]
+    buf = buf.reshape(n, h, 6)
+    count = jnp.sum(valid.astype(jnp.int32), axis=1)
     slot = jnp.arange(h)[None, :]
     mask = slot < count[:, None]
+    rng_c = jnp.where(mask, buf[..., 0], _INVALID_RANGE)
+    col_c = jnp.where(mask, buf[..., 5].astype(jnp.int32), -1)
     return ExtractedCloud(
-        rng=rng_c, xyz=xyz_c, intensity=int_c, col=col_c, count=count, mask=mask
+        rng=rng_c,
+        xyz=buf[..., 1:4],
+        intensity=buf[..., 4],
+        col=col_c,
+        count=count,
+        mask=mask,
     )

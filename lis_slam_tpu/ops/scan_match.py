@@ -176,14 +176,14 @@ def gauss_newton_update(
     g = J.T @ (-r)
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    x = jnp.linalg.solve(H + 1e-9 * jnp.eye(6), g)
+    x = lin.solve6_spd(H + 1e-9 * jnp.eye(6), g)
 
     # Degeneracy analysis. The reference computes this once at iterCount==0
-    # (an eigendecomposition was expensive on CPU); on TPU the 6x6 eigh is
-    # free, so we recompute every iteration — identical behavior in
-    # structurally degenerate scenes, and the clamp releases as
+    # (an eigendecomposition was expensive on CPU); with the unrolled Jacobi
+    # eigh it is nearly free, so we recompute every iteration — identical
+    # behavior in structurally degenerate scenes, and the clamp releases as
     # correspondences accumulate during early iterations.
-    evals, evecs = jnp.linalg.eigh(H)  # ascending, columns are vecs
+    evals, evecs = lin.jacobi_eigh6(H)  # ascending, columns are vecs
     keep = (evals >= cfg.degeneracy_eigen_threshold).astype(H.dtype)
     proj = evecs @ jnp.diag(keep) @ evecs.T
     degenerate = jnp.any(keep < 0.5)

@@ -38,26 +38,48 @@ def _voxel_key(points: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> jnp.ndarr
     return key
 
 
-@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity", "centroid"))
 def voxel_downsample(
     points: jnp.ndarray,  # (N, 3) padded
     mask: jnp.ndarray,  # (N,) bool
     leaf: float,
     capacity: int,
+    centroid: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Centroid-per-voxel downsample. Returns (points (C,3), mask (C,), count)."""
+    """One point per voxel. Returns (points (C,3), mask (C,), count).
+
+    Default keeps the first point of each voxel (sort+gather only — TPU
+    scatter-adds cost ~10x more than sorts, so the centroid average the
+    PCL VoxelGrid computes is opt-in via centroid=True). First-point-per-
+    voxel is the standard accelerator variant (e.g. KISS-ICP) and changes
+    representative positions by at most leaf/2.
+    """
     h = jnp.where(mask, _voxel_key(points, mask, leaf), _SENTINEL)
     order = jnp.argsort(h)
     hs = h[order]
     ps = points[order]
     ms = mask[order]
     is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]]) & ms
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    dest = jnp.where(ms & (seg < capacity) & (seg >= 0), seg, capacity)
-    sums = jnp.zeros((capacity + 1, 3), points.dtype).at[dest].add(ps)
-    cnts = jnp.zeros((capacity + 1,), jnp.int32).at[dest].add(1)
-    out = sums[:capacity] / jnp.maximum(cnts[:capacity, None], 1)
-    out_mask = cnts[:capacity] > 0
+    if centroid:
+        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        dest = jnp.where(ms & (seg < capacity) & (seg >= 0), seg, capacity)
+        sums = jnp.zeros((capacity + 1, 3), points.dtype).at[dest].add(ps)
+        cnts = jnp.zeros((capacity + 1,), jnp.int32).at[dest].add(1)
+        out = sums[:capacity] / jnp.maximum(cnts[:capacity, None], 1)
+        out_mask = cnts[:capacity] > 0
+    else:
+        # compact representatives to the front with a second (cheap) sort:
+        # order2 sorts "is_new first, stable in voxel-key order"
+        n = ps.shape[0]
+        rank = jnp.where(is_new, jnp.arange(n, dtype=jnp.int32),
+                         jnp.int32(n) + jnp.arange(n, dtype=jnp.int32))
+        order2 = jnp.argsort(rank)
+        reps = ps[order2[:capacity]] if capacity <= n else jnp.pad(
+            ps[order2], ((0, capacity - n), (0, 0)))
+        k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
+        out = reps
+        out_mask = jnp.arange(capacity) < k
+        out = jnp.where(out_mask[:, None], out, 0.0)
     n_vox = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
     return out, out_mask, n_vox
 

@@ -88,7 +88,8 @@ def test_voxel_downsample_matches_golden():
     mask = np.ones(3000, bool)
     mask[2500:] = False
     out, omask, n = voxel.voxel_downsample(
-        jnp.asarray(pts), jnp.asarray(mask), leaf=0.5, capacity=4096
+        jnp.asarray(pts), jnp.asarray(mask), leaf=0.5, capacity=4096,
+        centroid=True,
     )
     golden = golden_voxel(pts[:2500].astype(np.float64), 0.5)
     out = np.asarray(out)[np.asarray(omask)]
@@ -115,3 +116,21 @@ def test_compact_masked():
     out, om = voxel.compact_masked(jnp.asarray(pts), jnp.asarray(mask), 8)
     assert int(np.asarray(om).sum()) == 5
     np.testing.assert_array_equal(np.asarray(out)[:5], pts[mask])
+
+
+def test_voxel_downsample_first_point_default():
+    r = np.random.default_rng(9)
+    pts = r.uniform(-5, 5, (4000, 3)).astype(np.float32)
+    mask = np.ones(4000, bool)
+    out, omask, n = voxel.voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(mask), leaf=0.5, capacity=4096
+    )
+    out = np.asarray(out)[np.asarray(omask)]
+    golden = golden_voxel(pts.astype(np.float64), 0.5)
+    assert int(n) == len(golden) == len(out)
+    # every representative is an actual input point
+    inset = {tuple(np.round(p, 5)) for p in pts}
+    assert all(tuple(np.round(p, 5)) in inset for p in out)
+    # one representative per occupied voxel
+    cells = {tuple(c) for c in np.floor(out / 0.5).astype(np.int64)}
+    assert len(cells) == len(out)

