@@ -1,0 +1,223 @@
+"""IMU preintegration on-manifold (Forster et al.), as a lax.scan.
+
+Rebuild of the reference's GTSAM-based IMU handling
+(`IMUPreintegration`, subMapOptmizationNode.cpp:2007-2219):
+ - `gtsam::PreintegratedImuMeasurements` -> `preintegrate` below: delta
+   rotation/velocity/position with bias Jacobians and covariance propagated
+   over a fixed-size padded IMU window,
+ - predicted state for the next scan's initial guess (`imuHandler` :429-511),
+ - `failureDetection` (:2222-2238): velocity/bias magnitude gates,
+ - bias update via the preintegrated Jacobians instead of iSAM2 relin.
+
+The noise model matches the reference's params (imuAccNoise/imuGyrNoise/
+imuAccBiasN/imuGyrBiasN, config/params.yaml:82-87).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ImuConfig
+from ..utils import se3
+
+
+class PreintegratedImu(NamedTuple):
+    """Delta state between two scan times, in the first frame's body frame."""
+
+    delta_R: jnp.ndarray  # (3, 3)
+    delta_v: jnp.ndarray  # (3,)
+    delta_p: jnp.ndarray  # (3,)
+    delta_t: jnp.ndarray  # ()
+    # bias Jacobians (first order, Forster eq. 44)
+    dR_dbg: jnp.ndarray  # (3, 3)
+    dv_dbg: jnp.ndarray  # (3, 3)
+    dv_dba: jnp.ndarray  # (3, 3)
+    dp_dbg: jnp.ndarray  # (3, 3)
+    dp_dba: jnp.ndarray  # (3, 3)
+    cov: jnp.ndarray  # (9, 9) [theta, v, p] covariance
+    count: jnp.ndarray  # () int32 integrated samples
+
+
+class ImuState(NamedTuple):
+    """Propagated navigation state (world frame)."""
+
+    R: jnp.ndarray  # (3, 3)
+    v: jnp.ndarray  # (3,)
+    p: jnp.ndarray  # (3,)
+    bg: jnp.ndarray  # (3,) gyro bias
+    ba: jnp.ndarray  # (3,) accel bias
+
+
+def preintegrate(
+    imu_time: jnp.ndarray,  # (M,) seconds
+    gyro: jnp.ndarray,  # (M, 3)
+    accel: jnp.ndarray,  # (M, 3)
+    valid: jnp.ndarray,  # (M,)
+    bg: jnp.ndarray,  # (3,) gyro bias estimate
+    ba: jnp.ndarray,  # (3,) accel bias estimate
+    cfg: ImuConfig,
+) -> PreintegratedImu:
+    """Integrate the window with bias-corrected measurements."""
+    m = imu_time.shape[0]
+    prev_t = jnp.concatenate([imu_time[:1], imu_time[:-1]])
+    dt = jnp.where(valid, imu_time - prev_t, 0.0)
+    idx = jnp.arange(m)
+    first = jnp.argmax(valid)
+    dt = jnp.where(idx == first, 0.0, dt)
+    dt = jnp.clip(dt, 0.0, 0.1)
+
+    sg2 = cfg.gyr_noise**2
+    sa2 = cfg.acc_noise**2
+
+    def step(carry, inp):
+        pre = carry
+        w, a, dti = inp
+        w = w - bg
+        a = a - ba
+        dR_inc = se3.so3_exp(w * dti)
+        a_rot = pre.delta_R @ a
+        # state update (mid-point free, Euler forward as in gtsam's default)
+        new_p = pre.delta_p + pre.delta_v * dti + 0.5 * a_rot * dti * dti
+        new_v = pre.delta_v + a_rot * dti
+        new_R = pre.delta_R @ dR_inc
+        # bias jacobians
+        Jr = _right_jacobian(w * dti)
+        a_hat = se3.hat(a)
+        new_dR_dbg = dR_inc.T @ pre.dR_dbg - Jr * dti
+        new_dv_dba = pre.dv_dba - pre.delta_R * dti
+        new_dv_dbg = pre.dv_dbg - (pre.delta_R @ a_hat) @ pre.dR_dbg * dti
+        new_dp_dba = pre.dp_dba + pre.dv_dba * dti - 0.5 * pre.delta_R * dti * dti
+        new_dp_dbg = (
+            pre.dp_dbg + pre.dv_dbg * dti
+            - 0.5 * (pre.delta_R @ a_hat) @ pre.dR_dbg * dti * dti
+        )
+        # covariance propagation (theta, v, p)
+        A = jnp.zeros((9, 9))
+        A = A.at[0:3, 0:3].set(dR_inc.T)
+        A = A.at[3:6, 0:3].set(-(pre.delta_R @ a_hat) * dti)
+        A = A.at[3:6, 3:6].set(jnp.eye(3))
+        A = A.at[6:9, 0:3].set(-0.5 * (pre.delta_R @ a_hat) * dti * dti)
+        A = A.at[6:9, 3:6].set(jnp.eye(3) * dti)
+        A = A.at[6:9, 6:9].set(jnp.eye(3))
+        B = jnp.zeros((9, 6))
+        B = B.at[0:3, 0:3].set(Jr * dti)
+        B = B.at[3:6, 3:6].set(pre.delta_R * dti)
+        B = B.at[6:9, 3:6].set(0.5 * pre.delta_R * dti * dti)
+        Q = jnp.diag(
+            jnp.concatenate([jnp.full(3, sg2), jnp.full(3, sa2)])
+        )
+        new_cov = A @ pre.cov @ A.T + B @ Q @ B.T
+        integrate = dti > 0
+        out = PreintegratedImu(
+            delta_R=jnp.where(integrate, new_R, pre.delta_R),
+            delta_v=jnp.where(integrate, new_v, pre.delta_v),
+            delta_p=jnp.where(integrate, new_p, pre.delta_p),
+            delta_t=pre.delta_t + dti,
+            dR_dbg=jnp.where(integrate, new_dR_dbg, pre.dR_dbg),
+            dv_dbg=jnp.where(integrate, new_dv_dbg, pre.dv_dbg),
+            dv_dba=jnp.where(integrate, new_dv_dba, pre.dv_dba),
+            dp_dbg=jnp.where(integrate, new_dp_dbg, pre.dp_dbg),
+            dp_dba=jnp.where(integrate, new_dp_dba, pre.dp_dba),
+            cov=jnp.where(integrate, new_cov, pre.cov),
+            count=pre.count + integrate.astype(jnp.int32),
+        )
+        return out, None
+
+    init = PreintegratedImu(
+        delta_R=jnp.eye(3),
+        delta_v=jnp.zeros(3),
+        delta_p=jnp.zeros(3),
+        delta_t=jnp.float32(0.0),
+        dR_dbg=jnp.zeros((3, 3)),
+        dv_dbg=jnp.zeros((3, 3)),
+        dv_dba=jnp.zeros((3, 3)),
+        dp_dbg=jnp.zeros((3, 3)),
+        dp_dba=jnp.zeros((3, 3)),
+        cov=jnp.zeros((9, 9)),
+        count=jnp.int32(0),
+    )
+    out, _ = jax.lax.scan(step, init, (gyro, accel, dt))
+    return out
+
+
+def _right_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) right Jacobian Jr(phi)."""
+    theta2 = jnp.sum(phi * phi)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    W = se3.hat(phi)
+    small = theta2 < 1e-12
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0,
+        (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-24),
+    )
+    return jnp.eye(3) - a * W + b * (W @ W)
+
+
+def predict(state: ImuState, pre: PreintegratedImu, gravity: float) -> ImuState:
+    """Propagate the nav state through a preintegrated delta
+    (gtsam ImuFactor predict; used for the next scan's initial guess)."""
+    g = jnp.array([0.0, 0.0, -gravity])
+    dt = pre.delta_t
+    new_p = state.p + state.v * dt + 0.5 * g * dt * dt + state.R @ pre.delta_p
+    new_v = state.v + g * dt + state.R @ pre.delta_v
+    new_R = state.R @ pre.delta_R
+    return ImuState(R=new_R, v=new_v, p=new_p, bg=state.bg, ba=state.ba)
+
+
+def correct_delta(pre: PreintegratedImu, dbg: jnp.ndarray, dba: jnp.ndarray):
+    """First-order bias correction of the preintegrated deltas."""
+    dR = pre.delta_R @ se3.so3_exp(pre.dR_dbg @ dbg)
+    dv = pre.delta_v + pre.dv_dbg @ dbg + pre.dv_dba @ dba
+    dp = pre.delta_p + pre.dp_dbg @ dbg + pre.dp_dba @ dba
+    return dR, dv, dp
+
+
+def failure_detection(velocity: jnp.ndarray, bg: jnp.ndarray,
+                      ba: jnp.ndarray) -> jnp.ndarray:
+    """Reference failureDetection (subMapOptmizationNode.cpp:2222-2238):
+    reset when |v| > 30 m/s or |bias| > 1.0."""
+    return (
+        (jnp.linalg.norm(velocity) > 30.0)
+        | (jnp.linalg.norm(ba) > 1.0)
+        | (jnp.linalg.norm(bg) > 1.0)
+    )
+
+
+def velocity_bias_update(
+    state: ImuState,
+    pre: PreintegratedImu,
+    pose_prev: jnp.ndarray,  # (6,) lidar-optimized pose at window start
+    pose_new: jnp.ndarray,  # (6,) lidar-optimized pose at window end
+    gravity: float,
+    gain: float = 1.0,
+) -> ImuState:
+    """Closed-form velocity + first-order bias refresh from the lidar pose
+    pair — the TPU-native stand-in for the reference's per-key iSAM2 update
+    (the graph there only ever couples consecutive states, so the
+    information-form solution collapses to this residual correction).
+    """
+    R0 = se3.euler_to_rot(pose_prev[:3])
+    p0 = pose_prev[3:]
+    p1 = pose_new[3:]
+    g = jnp.array([0.0, 0.0, -gravity])
+    dt = jnp.maximum(pre.delta_t, 1e-3)
+    # velocity consistent with observed displacement and preintegrated delta
+    v_obs = (p1 - p0 - 0.5 * g * dt * dt - R0 @ pre.delta_p) / dt
+    v_new = state.v + gain * (v_obs - state.v)
+    # gyro bias from rotation residual: R0 dR(b) ~ R1
+    R1 = se3.euler_to_rot(pose_new[:3])
+    dR_obs = R0.T @ R1
+    rot_res = se3.so3_log(pre.delta_R.T @ dR_obs)
+    # dR_dbg maps bias change to rotation change: solve least squares via inv3
+    from ..utils import lin
+
+    JtJ = pre.dR_dbg.T @ pre.dR_dbg + 1e-6 * jnp.eye(3)
+    dbg = lin.inv3(JtJ) @ (pre.dR_dbg.T @ rot_res)
+    bg_new = state.bg + gain * 0.1 * dbg  # damped, like the iSAM2 prior
+    return ImuState(
+        R=R1, v=v_new, p=p1, bg=bg_new, ba=state.ba,
+    )

@@ -1,0 +1,137 @@
+"""IMU preintegration golden tests vs numpy integration."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax.numpy as jnp
+
+from lis_slam_tpu.config import ImuConfig
+from lis_slam_tpu.imu import preintegration as pi
+
+
+def numpy_preintegrate(times, gyro, accel, bg, ba):
+    R = np.eye(3)
+    v = np.zeros(3)
+    p = np.zeros(3)
+    for i in range(1, len(times)):
+        dt = times[i] - times[i - 1]
+        w = gyro[i] - bg
+        a = accel[i] - ba
+        p = p + v * dt + 0.5 * (R @ a) * dt * dt
+        v = v + (R @ a) * dt
+        R = R @ Rotation.from_rotvec(w * dt).as_matrix()
+    return R, v, p
+
+
+@pytest.fixture
+def window():
+    r = np.random.default_rng(2)
+    m = 32
+    times = np.linspace(0.0, 0.31, m).astype(np.float32)
+    gyro = (0.3 * np.sin(np.linspace(0, 3, m))[:, None] *
+            np.array([[1.0, -0.5, 0.8]])).astype(np.float32)
+    accel = (np.array([[0.5, -0.2, 9.9]]) +
+             0.1 * r.normal(size=(m, 3))).astype(np.float32)
+    return times, gyro, accel
+
+
+def test_preintegration_matches_numpy(window):
+    times, gyro, accel = window
+    bg = np.array([0.01, -0.02, 0.005], np.float32)
+    ba = np.array([0.05, 0.02, -0.03], np.float32)
+    cfg = ImuConfig()
+    pre = pi.preintegrate(
+        jnp.asarray(times), jnp.asarray(gyro), jnp.asarray(accel),
+        jnp.ones(len(times), bool), jnp.asarray(bg), jnp.asarray(ba), cfg,
+    )
+    R_ref, v_ref, p_ref = numpy_preintegrate(
+        times.astype(np.float64), gyro.astype(np.float64),
+        accel.astype(np.float64), bg, ba)
+    np.testing.assert_allclose(np.asarray(pre.delta_R), R_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pre.delta_v), v_ref, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pre.delta_p), p_ref, atol=1e-3)
+    assert np.isclose(float(pre.delta_t), times[-1] - times[0], atol=1e-5)
+    assert int(pre.count) == len(times) - 1
+    # covariance is PSD and grows with time
+    cov = np.asarray(pre.cov)
+    assert np.linalg.eigvalsh(cov).min() > -1e-10
+
+
+def test_bias_jacobian_first_order(window):
+    """Perturbing the bias and re-integrating should match the first-order
+    correction via the stored Jacobians."""
+    times, gyro, accel = window
+    cfg = ImuConfig()
+    zero = jnp.zeros(3)
+    pre0 = pi.preintegrate(
+        jnp.asarray(times), jnp.asarray(gyro), jnp.asarray(accel),
+        jnp.ones(len(times), bool), zero, zero, cfg,
+    )
+    dbg = np.array([0.004, -0.003, 0.002], np.float32)
+    dba = np.array([0.02, 0.01, -0.015], np.float32)
+    pre1 = pi.preintegrate(
+        jnp.asarray(times), jnp.asarray(gyro), jnp.asarray(accel),
+        jnp.ones(len(times), bool), jnp.asarray(dbg), jnp.asarray(dba), cfg,
+    )
+    # first-order correction of pre0 to the new bias: note sign — the
+    # Jacobians are d(delta)/d(bias)
+    dR, dv, dp = pi.correct_delta(pre0, jnp.asarray(dbg), jnp.asarray(dba))
+    np.testing.assert_allclose(np.asarray(dR), np.asarray(pre1.delta_R), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(pre1.delta_v), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(pre1.delta_p), atol=2e-3)
+
+
+def test_predict_gravity_only():
+    """Free fall: no IMU rotation/accel signal except gravity cancellation."""
+    m = 8
+    times = np.linspace(0, 0.07, m).astype(np.float32)
+    gyro = np.zeros((m, 3), np.float32)
+    accel = np.zeros((m, 3), np.float32)  # accelerometer reads 0 in free fall
+    cfg = ImuConfig()
+    pre = pi.preintegrate(
+        jnp.asarray(times), jnp.asarray(gyro), jnp.asarray(accel),
+        jnp.ones(m, bool), jnp.zeros(3), jnp.zeros(3), cfg,
+    )
+    st = pi.ImuState(R=jnp.eye(3), v=jnp.zeros(3), p=jnp.zeros(3),
+                     bg=jnp.zeros(3), ba=jnp.zeros(3))
+    out = pi.predict(st, pre, cfg.gravity)
+    dt = float(pre.delta_t)
+    np.testing.assert_allclose(
+        np.asarray(out.p), [0, 0, -0.5 * cfg.gravity * dt * dt], atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.v), [0, 0, -cfg.gravity * dt],
+                               atol=1e-5)
+
+
+def test_failure_detection():
+    assert not bool(pi.failure_detection(jnp.zeros(3), jnp.zeros(3), jnp.zeros(3)))
+    assert bool(pi.failure_detection(jnp.asarray([40.0, 0, 0]), jnp.zeros(3),
+                                     jnp.zeros(3)))
+    assert bool(pi.failure_detection(jnp.zeros(3), jnp.asarray([1.2, 0, 0]),
+                                     jnp.zeros(3)))
+
+
+def test_velocity_bias_update_consistency():
+    """If the lidar poses agree exactly with the preintegrated delta, the
+    velocity estimate should equal the true initial velocity."""
+    m = 16
+    times = np.linspace(0, 0.15, m).astype(np.float32)
+    gyro = np.zeros((m, 3), np.float32)
+    g = 9.80511
+    accel = np.tile(np.array([[1.0, 0.0, g]], np.float32), (m, 1))
+    cfg = ImuConfig()
+    pre = pi.preintegrate(
+        jnp.asarray(times), jnp.asarray(gyro), jnp.asarray(accel),
+        jnp.ones(m, bool), jnp.zeros(3), jnp.zeros(3), cfg,
+    )
+    dt = float(pre.delta_t)
+    v0 = np.array([2.0, 0.0, 0.0])
+    # true motion: p1 = v0 t + 0.5 (a_world) t^2 with a_world = [1,0,0]
+    p1 = v0 * dt + 0.5 * np.array([1.0, 0, 0]) * dt * dt
+    pose_prev = jnp.zeros(6)
+    pose_new = jnp.asarray(np.concatenate([[0, 0, 0], p1]), dtype=jnp.float32)
+    st = pi.ImuState(R=jnp.eye(3), v=jnp.zeros(3), p=jnp.zeros(3),
+                     bg=jnp.zeros(3), ba=jnp.zeros(3))
+    out = pi.velocity_bias_update(st, pre, pose_prev, pose_new, cfg.gravity)
+    np.testing.assert_allclose(np.asarray(out.v), v0, atol=2e-2)
