@@ -26,9 +26,11 @@ import jax
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax.numpy as jnp
+
 from lis_slam_tpu.config import SlamConfig, SensorConfig
-from lis_slam_tpu.io import synthetic
-from lis_slam_tpu.pipeline import driver, odometry, trajectory
+from lis_slam_tpu.io import synthetic_jax
+from lis_slam_tpu.pipeline import odometry, trajectory
 
 
 def main():
@@ -36,16 +38,19 @@ def main():
     warmup = 5
     cfg = SlamConfig().replace(sensor=SensorConfig(max_raw_points=64 * 1800))
 
-    world = synthetic.make_world(seed=5)
-    gt = synthetic.circular_trajectory(n_scans + 1, radius=60.0, speed=8.0)
-    scans = [
-        synthetic.render_scan(world, gt[i], None, seed=100 + i, noise=0.01)
-        for i in range(n_scans)
+    # Render the sequence on-device (the HDL-64 beam pattern matches the
+    # KITTI operating point; host prep is not the thing being measured).
+    scans, gt = synthetic_jax.render_sequence_device(n_scans, seed=5)
+    zero_imu = dict(
+        imu_time=jnp.zeros(cfg.imu.max_imu_per_scan),
+        imu_gyro=jnp.zeros((cfg.imu.max_imu_per_scan, 3)),
+        imu_valid=jnp.zeros(cfg.imu.max_imu_per_scan, bool),
+        scan_start=jnp.float32(0.0),
+    )
+    padded = [
+        odometry.ScanInput(points=pts, valid=val, **zero_imu)
+        for pts, _lbl, val in scans
     ]
-
-    # Pre-pad all scans to device arrays up front (host prep is not the
-    # thing being measured; in production the C++ loader does this async).
-    padded = [driver.pad_scan(s.points[s.valid], cfg) for s in scans]
 
     state = odometry.init_state(cfg)
     step = odometry.odom_step
