@@ -163,21 +163,19 @@ def knn_hash(
     (up to bucket_cap occupancy; tests quantify parity vs brute force).
     """
     qcell = jnp.floor(query / hmap.cell_size).astype(jnp.int32)
-    n_sorted = hmap.points.shape[0]
 
-    cand_idx = []
-    cand_valid = []
-    for off in _NEIGHBOR_OFFSETS:
-        cc = qcell + jnp.asarray(off, dtype=jnp.int32)
-        hb = _hash_cells(cc[:, 0], cc[:, 1], cc[:, 2], hmap.table_size)
-        start = hmap.bucket_start[hb]  # (Q,)
-        end = hmap.bucket_start[hb + 1]
-        sl = start[:, None] + jnp.arange(bucket_cap)[None, :]  # (Q, B)
-        ok = sl < end[:, None]
-        cand_idx.append(jnp.where(ok, sl, 0))
-        cand_valid.append(ok)
-    ci = jnp.concatenate(cand_idx, axis=1)  # (Q, 27*B)
-    cv = jnp.concatenate(cand_valid, axis=1)
+    # all 27 neighbor-cell hashes at once; ONE batched gather for starts and
+    # one for ends (27 separate small gathers cost ~70us fixed overhead each
+    # on TPU)
+    offs = jnp.asarray(_NEIGHBOR_OFFSETS, dtype=jnp.int32)  # (27, 3)
+    cc = qcell[:, None, :] + offs[None, :, :]  # (Q, 27, 3)
+    hb = _hash_cells(cc[..., 0], cc[..., 1], cc[..., 2], hmap.table_size)
+    start = jnp.take(hmap.bucket_start, hb)  # (Q, 27)
+    end = jnp.take(hmap.bucket_start, hb + 1)
+    sl = start[..., None] + jnp.arange(bucket_cap)[None, None, :]  # (Q,27,B)
+    ok = sl < end[..., None]
+    ci = jnp.where(ok, sl, 0).reshape(query.shape[0], -1)  # (Q, 27*B)
+    cv = ok.reshape(query.shape[0], -1)
     cpts = hmap.points[ci]  # (Q, 27*B, 3)
     diff = cpts - query[:, None, :]
     d = jnp.sum(diff * diff, axis=-1)

@@ -46,14 +46,12 @@ class Correspondences(NamedTuple):
 def corner_correspondences(
     pts_world: jnp.ndarray,  # (Q, 3) current corner points in map frame
     mask: jnp.ndarray,  # (Q,)
-    map_pts: jnp.ndarray,  # (N, 3)
-    nn_sqd: jnp.ndarray,  # (Q, 5)
-    nn_idx: jnp.ndarray,  # (Q, 5)
+    near: jnp.ndarray,  # (Q, 5, 3) the 5 nearest map points
+    nn_sqd: jnp.ndarray,  # (Q, 5) ascending
     cfg: MatchingConfig,
     sem_weight: jnp.ndarray | None = None,  # (Q,)
 ) -> Correspondences:
     """Point-to-line residuals via 5-point covariance eigen-analysis."""
-    near = map_pts[nn_idx]  # (Q, 5, 3)
     gate = mask & (nn_sqd[:, 4] < cfg.nn_max_sq_dist)
 
     center = jnp.mean(near, axis=1)  # (Q, 3)
@@ -88,14 +86,12 @@ def corner_correspondences(
 def surf_correspondences(
     pts_world: jnp.ndarray,
     mask: jnp.ndarray,
-    map_pts: jnp.ndarray,
+    near: jnp.ndarray,  # (Q, 5, 3)
     nn_sqd: jnp.ndarray,
-    nn_idx: jnp.ndarray,
     cfg: MatchingConfig,
     sem_weight: jnp.ndarray | None = None,
 ) -> Correspondences:
     """Point-to-plane residuals via 5-point least-squares plane fit."""
-    near = map_pts[nn_idx]  # (Q, 5, 3)
     gate = mask & (nn_sqd[:, 4] < cfg.nn_max_sq_dist)
 
     n, d = lin.solve_plane_lsq(near)  # unit normal, offset
@@ -201,6 +197,19 @@ def gauss_newton_update(
     return new_pose, proj, degenerate, converged, n_valid
 
 
+def _rerank_neighbors(pts_world, cand_pts, cand_valid, k):
+    """Re-rank cached candidate neighbors by current distance; return the
+    5 nearest as (sq_dists (Q,5) ascending, slot indices (Q,5))."""
+    diff = cand_pts - pts_world[:, None, :]
+    d = jnp.sum(diff * diff, axis=-1)
+    d = jnp.where(cand_valid, d, _BIGD)
+    neg, sel = jax.lax.top_k(-d, k)
+    return -neg, sel
+
+
+_BIGD = jnp.float32(3e38)
+
+
 def scan_to_map(
     pose0: jnp.ndarray,  # (6,) initial guess
     corner_pts: jnp.ndarray,  # (Qc, 3) sensor frame
@@ -215,27 +224,64 @@ def scan_to_map(
     max_iterations: int,
     corner_sem_weight: jnp.ndarray | None = None,
     surf_sem_weight: jnp.ndarray | None = None,
+    cache_k: int = 10,
+    cache_refresh_dist: float = 0.3,
+    cache_refresh_rot: float = 0.05,
 ) -> GNState:
     """Full scan-to-map optimization (scan2SubMapOptimization rebuild).
 
-    Correspondences are re-searched every iteration against the fixed map
-    hash, exactly like the reference re-queries its per-scan KD-trees.
+    Correspondence caching (documented deviation): the reference re-queries
+    its KD-trees every iteration; here the `cache_k` nearest candidates per
+    feature are fetched from the voxel hash and every GN iteration re-ranks
+    the cached set by current distance to pick its 5 support points. The
+    cache is refreshed whenever the pose has moved more than
+    `cache_refresh_dist`/`cache_refresh_rot` since it was built, so large
+    perturbations still converge like the full re-search (tests compare the
+    two); well-initialized scans pay exactly one hash search.
     """
 
-    def cond(state: GNState):
+    def search(pose):
+        T = se3.pose_to_matrix(pose)
+        cw = se3.transform_points(T, corner_pts)
+        sw = se3.transform_points(T, surf_pts)
+        _, c_cache = knn.knn_hash(cw, corner_hash, k=cache_k)
+        _, s_cache = knn.knn_hash(sw, surf_hash, k=cache_k)
+        c_cand = corner_map[c_cache]  # (Qc, K, 3)
+        s_cand = surf_map[s_cache]
+        # candidate validity: INF-distance slots point at arbitrary ids;
+        # validate by position (generous radius, the 5-NN gate is applied
+        # per-iteration on re-ranked distances)
+        c_ok = jnp.sum((c_cand - cw[:, None, :]) ** 2, -1) < 4.0
+        s_ok = jnp.sum((s_cand - sw[:, None, :]) ** 2, -1) < 4.0
+        return c_cand, c_ok, s_cand, s_ok, pose
+
+    cache0 = search(pose0)
+
+    def cond(carry):
+        state, _cache = carry
         return (state.it < max_iterations) & ~state.converged
 
-    def body(state: GNState):
+    def body(carry):
+        state, cache = carry
+        _, _, _, _, cache_pose = cache
+        moved = (
+            jnp.linalg.norm(state.pose[3:] - cache_pose[3:]) > cache_refresh_dist
+        ) | (jnp.linalg.norm(state.pose[:3] - cache_pose[:3]) > cache_refresh_rot)
+        cache = jax.lax.cond(moved, lambda: search(state.pose), lambda: cache)
+        c_cand, c_ok, s_cand, s_ok, _ = cache
+
         T = se3.pose_to_matrix(state.pose)
         cw = se3.transform_points(T, corner_pts)
         sw = se3.transform_points(T, surf_pts)
-        cd, ci = knn.knn_hash(cw, corner_hash, k=5)
-        sd, si = knn.knn_hash(sw, surf_hash, k=5)
+        cd, csel = _rerank_neighbors(cw, c_cand, c_ok, 5)
+        sd, ssel = _rerank_neighbors(sw, s_cand, s_ok, 5)
+        c_near = jnp.take_along_axis(c_cand, csel[..., None], axis=1)
+        s_near = jnp.take_along_axis(s_cand, ssel[..., None], axis=1)
         cc = corner_correspondences(
-            cw, corner_mask, corner_map, cd, ci, cfg, corner_sem_weight
+            cw, corner_mask, c_near, cd, cfg, corner_sem_weight
         )
         sc = surf_correspondences(
-            sw, surf_mask, surf_map, sd, si, cfg, surf_sem_weight
+            sw, surf_mask, s_near, sd, cfg, surf_sem_weight
         )
         pts = jnp.concatenate([corner_pts, surf_pts], axis=0)
         coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
@@ -245,9 +291,12 @@ def scan_to_map(
             state.pose, pts, coeff, res, val, state.it, state.proj,
             state.degenerate, cfg,
         )
-        return GNState(
-            pose=new_pose, proj=proj, degenerate=degen, converged=conv,
-            n_valid=n_valid, it=state.it + 1,
+        return (
+            GNState(
+                pose=new_pose, proj=proj, degenerate=degen, converged=conv,
+                n_valid=n_valid, it=state.it + 1,
+            ),
+            cache,
         )
 
     init = GNState(
@@ -258,4 +307,5 @@ def scan_to_map(
         n_valid=jnp.int32(0),
         it=jnp.int32(0),
     )
-    return jax.lax.while_loop(cond, body, init)
+    out, _ = jax.lax.while_loop(cond, body, (init, cache0))
+    return out
