@@ -112,6 +112,53 @@ def voxel_downsample_labeled(
     return out, lab[:capacity], out_mask
 
 
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+def voxel_merge_aged(
+    new_points: jnp.ndarray,  # (A, 3) current keyframe cloud (world frame)
+    new_mask: jnp.ndarray,  # (A,)
+    map_points: jnp.ndarray,  # (C, 3) existing map buffer
+    map_age: jnp.ndarray,  # (C,) int32 keyframe index of last observation
+    map_mask: jnp.ndarray,  # (C,)
+    kf_index: jnp.ndarray,  # () int32 current keyframe counter
+    window: int,
+    leaf: float,
+    capacity: int,
+):
+    """Incremental sliding-window map update, one stable sort.
+
+    Semantically equivalent to the reference's merge-last-K-keyframes +
+    voxel-downsample rebuild (odomEstimationNode.cpp:185-207): a voxel is in
+    the map iff some keyframe in the last `window` observed it. Points carry
+    the keyframe index of their last observation; expired points are masked
+    out, the new cloud is concatenated IN FRONT (stable sort keeps the first
+    occurrence per voxel, so re-observed voxels refresh position and age),
+    and one sort-dedup produces the new fixed-capacity buffer.
+
+    Returns (points (C,3), age (C,), mask (C,)).
+    """
+    alive = map_mask & (map_age > kf_index - window)
+    pts = jnp.concatenate([new_points, map_points], axis=0)
+    age = jnp.concatenate(
+        [jnp.full(new_points.shape[0], kf_index, jnp.int32), map_age]
+    )
+    mask = jnp.concatenate([new_mask, alive])
+    h = jnp.where(mask, _voxel_key(pts, mask, leaf), _SENTINEL)
+    order = jnp.argsort(h, stable=True)
+    hs = h[order]
+    is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
+    is_new = is_new & (hs != _SENTINEL)
+    n = pts.shape[0]
+    rank = jnp.where(is_new, jnp.arange(n, dtype=jnp.int32),
+                     jnp.int32(n) + jnp.arange(n, dtype=jnp.int32))
+    order2 = jnp.argsort(rank)
+    sel = order[order2[:capacity]]
+    k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
+    out_mask = jnp.arange(capacity) < k
+    out_pts = jnp.where(out_mask[:, None], pts[sel], 0.0)
+    out_age = jnp.where(out_mask, age[sel], -(10**9))
+    return out_pts, out_age, out_mask
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def compact_masked(points: jnp.ndarray, mask: jnp.ndarray, capacity: int):
     """Pack masked rows of (N, 3) into a (capacity, 3) buffer (order kept)."""

@@ -41,18 +41,16 @@ class OdomState(NamedTuple):
     incr: jnp.ndarray  # (4, 4) constant-velocity increment
     frame_idx: jnp.ndarray  # () int32
 
-    kf_corner: jnp.ndarray  # (K, Ck, 3) world frame, downsampled
-    kf_corner_mask: jnp.ndarray  # (K, Ck)
-    kf_surf: jnp.ndarray  # (K, Cs, 3)
-    kf_surf_mask: jnp.ndarray  # (K, Cs)
     kf_poses: jnp.ndarray  # (K, 6)
     kf_count: jnp.ndarray  # () int32 total keyframes ever
     kf_head: jnp.ndarray  # () int32 ring-buffer slot for next insert
     last_kf_pose: jnp.ndarray  # (6,)
 
     map_corner: jnp.ndarray  # (Mc, 3)
+    map_corner_age: jnp.ndarray  # (Mc,) keyframe index of last observation
     map_corner_mask: jnp.ndarray
     map_surf: jnp.ndarray  # (Ms, 3)
+    map_surf_age: jnp.ndarray
     map_surf_mask: jnp.ndarray
     corner_hash: knn.VoxelHashMap
     surf_hash: knn.VoxelHashMap
@@ -67,22 +65,14 @@ class OdomOutput(NamedTuple):
     iterations: jnp.ndarray  # () int32
 
 
-# capacities derived from config
-def _caps(cfg: SlamConfig):
-    K = cfg.keyframe.window_size
-    per_kf_corner = 3072
-    per_kf_surf = 12288
-    return K, per_kf_corner, per_kf_surf
-
-
 def init_state(cfg: SlamConfig) -> OdomState:
-    K, ckf, skf = _caps(cfg)
+    K = cfg.keyframe.window_size
     mc = cfg.matching.corner_map_capacity
     ms = cfg.matching.surf_map_capacity
     zero6 = jnp.zeros(6, jnp.float32)
     empty_hash_c = knn.build_hash(
         jnp.zeros((mc, 3), jnp.float32), jnp.zeros(mc, bool),
-        cell_size=1.0, table_size=cfg.matching.hash_table_slots,
+        cell_size=1.0, table_size=cfg.matching.hash_table_slots // 4,
     )
     empty_hash_s = knn.build_hash(
         jnp.zeros((ms, 3), jnp.float32), jnp.zeros(ms, bool),
@@ -93,17 +83,15 @@ def init_state(cfg: SlamConfig) -> OdomState:
         prev_pose=zero6,
         incr=jnp.eye(4, dtype=jnp.float32),
         frame_idx=jnp.int32(0),
-        kf_corner=jnp.zeros((K, ckf, 3), jnp.float32),
-        kf_corner_mask=jnp.zeros((K, ckf), bool),
-        kf_surf=jnp.zeros((K, skf, 3), jnp.float32),
-        kf_surf_mask=jnp.zeros((K, skf), bool),
         kf_poses=jnp.zeros((K, 6), jnp.float32),
         kf_count=jnp.int32(0),
         kf_head=jnp.int32(0),
         last_kf_pose=zero6,
         map_corner=jnp.zeros((mc, 3), jnp.float32),
+        map_corner_age=jnp.full((mc,), -(10**9), jnp.int32),
         map_corner_mask=jnp.zeros(mc, bool),
         map_surf=jnp.zeros((ms, 3), jnp.float32),
+        map_surf_age=jnp.full((ms,), -(10**9), jnp.int32),
         map_surf_mask=jnp.zeros(ms, bool),
         corner_hash=empty_hash_c,
         surf_hash=empty_hash_s,
@@ -142,51 +130,44 @@ def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
 
 def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,
                      pose: jnp.ndarray, cfg: SlamConfig) -> OdomState:
-    """Downsample + transform current full feature clouds into the window,
-    then rebuild the merged target map and its NN hashes."""
-    K, ckf, skf = _caps(cfg)
+    """Merge the current feature clouds into the sliding-window map.
+
+    One incremental aged-voxel merge per class replaces the reference's
+    full window rebuild (same window semantics — see voxel_merge_aged);
+    then the NN hashes are rebuilt over the updated buffers."""
+    K = cfg.keyframe.window_size
     T = se3.pose_to_matrix(pose)
     corner_w = se3.transform_points(T, fc.corner_xyz)
     surf_w = se3.transform_points(T, fc.surf_xyz)
-    ckf_pts, ckf_mask, _ = voxel.voxel_downsample(
-        corner_w, fc.corner_mask, cfg.voxel.mapping_corner_leaf, ckf
-    )
-    skf_pts, skf_mask, _ = voxel.voxel_downsample(
-        surf_w, fc.surf_mask, cfg.voxel.mapping_surf_leaf, skf
-    )
     head = state.kf_head
-    kf_corner = state.kf_corner.at[head].set(ckf_pts)
-    kf_corner_mask = state.kf_corner_mask.at[head].set(ckf_mask)
-    kf_surf = state.kf_surf.at[head].set(skf_pts)
-    kf_surf_mask = state.kf_surf_mask.at[head].set(skf_mask)
     kf_poses = state.kf_poses.at[head].set(pose)
 
-    # merged map: concat window slots, final voxel pass, rebuild hashes
-    mc = cfg.matching.corner_map_capacity
-    ms = cfg.matching.surf_map_capacity
-    map_c, map_c_mask, _ = voxel.voxel_downsample(
-        kf_corner.reshape(-1, 3), kf_corner_mask.reshape(-1),
-        cfg.voxel.mapping_corner_leaf, mc,
+    map_c, age_c, mask_c = voxel.voxel_merge_aged(
+        corner_w, fc.corner_mask,
+        state.map_corner, state.map_corner_age, state.map_corner_mask,
+        state.kf_count, K, cfg.voxel.mapping_corner_leaf,
+        cfg.matching.corner_map_capacity,
     )
-    map_s, map_s_mask, _ = voxel.voxel_downsample(
-        kf_surf.reshape(-1, 3), kf_surf_mask.reshape(-1),
-        cfg.voxel.mapping_surf_leaf, ms,
+    map_s, age_s, mask_s = voxel.voxel_merge_aged(
+        surf_w, fc.surf_mask,
+        state.map_surf, state.map_surf_age, state.map_surf_mask,
+        state.kf_count, K, cfg.voxel.mapping_surf_leaf,
+        cfg.matching.surf_map_capacity,
     )
     corner_hash = knn.build_hash(
-        map_c, map_c_mask, cell_size=1.0, table_size=cfg.matching.hash_table_slots
+        map_c, mask_c, cell_size=1.0,
+        table_size=cfg.matching.hash_table_slots // 4,
     )
     surf_hash = knn.build_hash(
-        map_s, map_s_mask, cell_size=1.0, table_size=cfg.matching.hash_table_slots
+        map_s, mask_s, cell_size=1.0, table_size=cfg.matching.hash_table_slots
     )
     return state._replace(
-        kf_corner=kf_corner, kf_corner_mask=kf_corner_mask,
-        kf_surf=kf_surf, kf_surf_mask=kf_surf_mask,
         kf_poses=kf_poses,
         kf_count=state.kf_count + 1,
         kf_head=(head + 1) % K,
         last_kf_pose=pose,
-        map_corner=map_c, map_corner_mask=map_c_mask,
-        map_surf=map_s, map_surf_mask=map_s_mask,
+        map_corner=map_c, map_corner_age=age_c, map_corner_mask=mask_c,
+        map_surf=map_s, map_surf_age=age_s, map_surf_mask=mask_s,
         corner_hash=corner_hash, surf_hash=surf_hash,
     )
 
