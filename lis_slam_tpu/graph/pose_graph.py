@@ -1,0 +1,239 @@
+"""Sparse Gauss-Newton pose-graph optimization on SE(3).
+
+TPU-native replacement for the reference's GTSAM/iSAM2 back-end
+(subMapOptmizationNode.cpp: addOdomFactor :4189-4214, addGPSFactor
+:4217-4301, addLoopFactor :4304-4342, isam->update in saveSubMapAndFactor
+:4084-4185, correctPoses :4346-4385). Instead of incremental smoothing, the
+full graph over submap nodes is (re-)solved by damped Gauss-Newton with
+dense normal equations — at reference scale (<= ~256 submaps on KITTI 00,
+so H is <= 1536 x 1536) one dense solve per update is cheap on TPU and
+exactly minimizes the same factor objective.
+
+Parametrization: nodes as 4x4 matrices, right-perturbation
+X <- X exp(delta); between-factor residual r = log(Z^-1 X_i^-1 X_j) with the
+standard small-residual Jacobians J_i = -Ad(X_j^-1 X_i), J_j = I.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GraphConfig
+from ..utils import se3
+
+
+class PoseGraph(NamedTuple):
+    """Fixed-capacity graph arrays (padded)."""
+
+    nodes: jnp.ndarray  # (N, 4, 4) current estimates
+    node_mask: jnp.ndarray  # (N,)
+    # between factors: edge k constrains (i -> j) with measurement Z
+    edge_i: jnp.ndarray  # (E,) int32
+    edge_j: jnp.ndarray  # (E,) int32
+    edge_z: jnp.ndarray  # (E, 4, 4)
+    edge_weight: jnp.ndarray  # (E, 6) per-axis sqrt information
+    edge_mask: jnp.ndarray  # (E,)
+    # unary priors (GPS / anchor): node -> measured pose
+    prior_idx: jnp.ndarray  # (P,) int32
+    prior_z: jnp.ndarray  # (P, 4, 4)
+    prior_weight: jnp.ndarray  # (P, 6)
+    prior_mask: jnp.ndarray  # (P,)
+
+
+def empty_graph(max_nodes: int, max_edges: int, max_priors: int) -> PoseGraph:
+    eye = jnp.broadcast_to(jnp.eye(4), (max_nodes, 4, 4))
+    return PoseGraph(
+        nodes=eye,
+        node_mask=jnp.zeros(max_nodes, bool),
+        edge_i=jnp.zeros(max_edges, jnp.int32),
+        edge_j=jnp.zeros(max_edges, jnp.int32),
+        edge_z=jnp.broadcast_to(jnp.eye(4), (max_edges, 4, 4)),
+        edge_weight=jnp.ones((max_edges, 6)),
+        edge_mask=jnp.zeros(max_edges, bool),
+        prior_idx=jnp.zeros(max_priors, jnp.int32),
+        prior_z=jnp.broadcast_to(jnp.eye(4), (max_priors, 4, 4)),
+        prior_weight=jnp.ones((max_priors, 6)),
+        prior_mask=jnp.zeros(max_priors, bool),
+    )
+
+
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint for twist order [rho, w]: (..., 6, 6)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    tR = se3.hat(t) @ R
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _residuals_and_blocks(graph: PoseGraph):
+    """Between-factor residuals (E, 6) + Jacobian blocks (E, 6, 6) x2."""
+    Xi = graph.nodes[graph.edge_i]
+    Xj = graph.nodes[graph.edge_j]
+    rel = se3.transform_inverse(Xi) @ Xj
+    err_T = se3.transform_inverse(graph.edge_z) @ rel
+    r = se3.se3_log(err_T)  # (E, 6)
+    Jj = jnp.broadcast_to(jnp.eye(6), r.shape[:1] + (6, 6))
+    Ji = -adjoint(se3.transform_inverse(rel))
+    w = graph.edge_weight
+    return r * w, Ji * w[:, :, None], Jj * w[:, :, None]
+
+
+def _prior_residuals(graph: PoseGraph):
+    Xp = graph.nodes[graph.prior_idx]
+    err_T = se3.transform_inverse(graph.prior_z) @ Xp
+    r = se3.se3_log(err_T)
+    J = jnp.broadcast_to(jnp.eye(6), r.shape[:1] + (6, 6))
+    w = graph.prior_weight
+    return r * w, J * w[:, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def optimize(graph: PoseGraph, damping: float = 1e-6,
+             iterations: int = 20) -> PoseGraph:
+    """Damped GN over the whole graph; returns graph with updated nodes."""
+    n = graph.nodes.shape[0]
+
+    def body(_, nodes):
+        g = graph._replace(nodes=nodes)
+        r_e, Ji, Jj = _residuals_and_blocks(g)
+        r_p, Jp = _prior_residuals(g)
+        em = g.edge_mask.astype(nodes.dtype)
+        pm = g.prior_mask.astype(nodes.dtype)
+        r_e = r_e * em[:, None]
+        Ji = Ji * em[:, None, None]
+        Jj = Jj * em[:, None, None]
+        r_p = r_p * pm[:, None]
+        Jp = Jp * pm[:, None, None]
+
+        # assemble H (6N, 6N) and b (6N,) by block scatter-add
+        H = jnp.zeros((n, n, 6, 6))
+        b = jnp.zeros((n, 6))
+        ii, jj = g.edge_i, g.edge_j
+        H = H.at[ii, ii].add(jnp.einsum("eki,ekj->eij", Ji, Ji))
+        H = H.at[jj, jj].add(jnp.einsum("eki,ekj->eij", Jj, Jj))
+        H = H.at[ii, jj].add(jnp.einsum("eki,ekj->eij", Ji, Jj))
+        H = H.at[jj, ii].add(jnp.einsum("eki,ekj->eij", Jj, Ji))
+        b = b.at[ii].add(jnp.einsum("eki,ek->ei", Ji, r_e))
+        b = b.at[jj].add(jnp.einsum("eki,ek->ei", Jj, r_e))
+        pi = g.prior_idx
+        H = H.at[pi, pi].add(jnp.einsum("eki,ekj->eij", Jp, Jp))
+        b = b.at[pi].add(jnp.einsum("eki,ek->ei", Jp, r_p))
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+        bd = b.reshape(6 * n)
+        # gauge fixing for inactive nodes + damping
+        active = jnp.repeat(g.node_mask, 6).astype(nodes.dtype)
+        Hd = Hd + jnp.diag(damping + (1.0 - active) * 1e6 + 1e-8)
+        delta = -jnp.linalg.solve(Hd, bd).reshape(n, 6)
+        delta = delta * g.node_mask[:, None]
+        return nodes @ se3.se3_exp(delta)
+
+    nodes = jax.lax.fori_loop(0, iterations, body, graph.nodes)
+    return graph._replace(nodes=nodes)
+
+
+class GraphBuilder:
+    """Host-side incremental graph construction (replaces the iSAM2 update
+    call pattern: add node + odom factor per submap, loop factors from the
+    loop thread, optional GPS priors)."""
+
+    def __init__(self, cfg: GraphConfig, max_nodes: int = 256,
+                 max_edges: int = 1024, max_priors: int = 256):
+        self.cfg = cfg
+        self.max_nodes = max_nodes
+        self.max_edges = max_edges
+        self.max_priors = max_priors
+        self.nodes: list[np.ndarray] = []
+        self.edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self.priors: list[tuple[int, np.ndarray, np.ndarray]] = []
+
+    def add_node(self, T_init: np.ndarray) -> int:
+        idx = len(self.nodes)
+        self.nodes.append(np.asarray(T_init, np.float32))
+        if idx == 0:
+            w = 1.0 / self.cfg.prior_sigma
+            self.priors.append((0, self.nodes[0], np.full(6, w, np.float32)))
+        return idx
+
+    def add_odom_edge(self, i: int, j: int, z: np.ndarray):
+        w = np.concatenate([
+            np.full(3, 1.0 / self.cfg.odom_trans_sigma),
+            np.full(3, 1.0 / self.cfg.odom_rot_sigma),
+        ]).astype(np.float32)
+        self.edges.append((i, j, np.asarray(z, np.float32), w))
+
+    def add_loop_edge(self, i: int, j: int, z: np.ndarray,
+                      scale: float = 1.0):
+        w = np.concatenate([
+            np.full(3, 1.0 / (self.cfg.loop_trans_sigma / max(scale, 1e-3))),
+            np.full(3, 1.0 / (self.cfg.loop_rot_sigma / max(scale, 1e-3))),
+        ]).astype(np.float32)
+        self.edges.append((i, j, np.asarray(z, np.float32), w))
+
+    def add_gps_prior(self, i: int, T: np.ndarray, sigma_xyz: np.ndarray):
+        w = np.concatenate([
+            1.0 / np.maximum(sigma_xyz, 1e-3), np.zeros(3)
+        ]).astype(np.float32)
+        self.priors.append((i, np.asarray(T, np.float32), w))
+
+    def to_device(self) -> PoseGraph:
+        g = empty_graph(self.max_nodes, self.max_edges, self.max_priors)
+        n = len(self.nodes)
+        e = len(self.edges)
+        p = len(self.priors)
+        assert n <= self.max_nodes and e <= self.max_edges and p <= self.max_priors
+        nodes = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                (self.max_nodes, 4, 4)).copy()
+        nodes[:n] = np.stack(self.nodes) if n else nodes[:0]
+        node_mask = np.zeros(self.max_nodes, bool)
+        node_mask[:n] = True
+        ei = np.zeros(self.max_edges, np.int32)
+        ej = np.zeros(self.max_edges, np.int32)
+        ez = np.broadcast_to(np.eye(4, dtype=np.float32),
+                             (self.max_edges, 4, 4)).copy()
+        ew = np.ones((self.max_edges, 6), np.float32)
+        em = np.zeros(self.max_edges, bool)
+        for k, (i, j, z, w) in enumerate(self.edges):
+            ei[k], ej[k], ez[k], ew[k], em[k] = i, j, z, w, True
+        pidx = np.zeros(self.max_priors, np.int32)
+        pz = np.broadcast_to(np.eye(4, dtype=np.float32),
+                             (self.max_priors, 4, 4)).copy()
+        pw = np.ones((self.max_priors, 6), np.float32)
+        pmask = np.zeros(self.max_priors, bool)
+        for k, (i, z, w) in enumerate(self.priors):
+            pidx[k], pz[k], pw[k], pmask[k] = i, z, w, True
+        return PoseGraph(
+            nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_z=jnp.asarray(ez), edge_weight=jnp.asarray(ew),
+            edge_mask=jnp.asarray(em),
+            prior_idx=jnp.asarray(pidx), prior_z=jnp.asarray(pz),
+            prior_weight=jnp.asarray(pw), prior_mask=jnp.asarray(pmask),
+        )
+
+    def optimize(self, iterations: int | None = None) -> np.ndarray:
+        """Solve and return optimized node poses (n, 4, 4)."""
+        g = self.to_device()
+        out = optimize(g, damping=self.cfg.damping,
+                       iterations=iterations or self.cfg.max_iterations)
+        n = len(self.nodes)
+        opt = np.asarray(out.nodes[:n])
+        self.nodes = [opt[i] for i in range(n)]
+        return opt
+
+
+def correct_keyframe_poses(kf_T: np.ndarray, kf_submap: np.ndarray,
+                           submap_init_T: np.ndarray,
+                           submap_opt_T: np.ndarray) -> np.ndarray:
+    """correctPoses / transformFusion (:4346-4385, :5079-5179): keyframe pose
+    = submap_opt o (submap_init^-1 o kf_init)."""
+    rel = np.einsum(
+        "nij,njk->nik", np.linalg.inv(submap_init_T[kf_submap]), kf_T)
+    return np.einsum("nij,njk->nik", submap_opt_T[kf_submap], rel)

@@ -1,0 +1,224 @@
+"""Tests for EPSC descriptors / loop detection and the pose-graph solver."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lis_slam_tpu.config import LoopClosureConfig, GraphConfig, DescriptorType
+from lis_slam_tpu.loop import epsc
+from lis_slam_tpu.graph import pose_graph
+from lis_slam_tpu.utils import se3
+
+
+# ----------------------------- descriptors ---------------------------------
+
+
+def make_scene(rng, n=4000, yaw=0.0, shift=(0.0, 0.0)):
+    """Structured points: buildings ring + poles, rotated/translated."""
+    ang = rng.uniform(0, 2 * np.pi, n)
+    r = np.where(rng.random(n) < 0.7, rng.uniform(8, 40, n),
+                 rng.uniform(40, 55, n))
+    x = r * np.cos(ang)
+    y = r * np.sin(ang)
+    z = rng.uniform(0, 8, n)
+    lab = np.where(rng.random(n) < 0.6, 13, np.where(rng.random(n) < 0.5, 18, 9))
+    c, s = np.cos(yaw), np.sin(yaw)
+    xr = c * x - s * y + shift[0]
+    yr = s * x + c * y + shift[1]
+    pts = np.stack([xr, yr, z], 1).astype(np.float32)
+    return pts, lab.astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return LoopClosureConfig()
+
+
+def compute_desc(pts, lab, cfg):
+    n = len(pts)
+    inten = np.full(n, 0.5, np.float32)
+    return epsc.compute_descriptors(
+        jnp.asarray(pts), jnp.asarray(inten), jnp.asarray(lab),
+        jnp.ones(n, bool),
+        jnp.asarray(pts[:500]), jnp.ones(500, bool),
+        jnp.asarray(pts[500:2500]), jnp.ones(2000, bool),
+        cfg,
+    )
+
+
+def test_descriptor_shapes_and_ranges(cfg):
+    rng = np.random.default_rng(0)
+    pts, lab = make_scene(rng)
+    d = compute_desc(pts, lab, cfg)
+    for name in ["sc", "isc", "epsc", "sepsc", "ssc", "fepsc"]:
+        arr = np.asarray(getattr(d, name))
+        assert arr.shape == (cfg.rings, cfg.sectors)
+        assert np.isfinite(arr).all()
+    assert np.asarray(d.isc).max() <= 255
+    assert np.asarray(d.epsc).max() <= 255
+    assert np.asarray(d.signature).shape == (360, 4)
+    assert np.asarray(d.signature)[:, 0].sum() > 100  # structural classes hit
+
+
+def test_same_scene_high_similarity(cfg):
+    rng = np.random.default_rng(1)
+    pts, lab = make_scene(rng)
+    pts2 = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    d1 = compute_desc(pts, lab, cfg)
+    d2 = compute_desc(pts2, lab, cfg)
+    score, angle = epsc.descriptor_distance(d1.fepsc, d2.fepsc,
+                                            jnp.float32(0.0), cfg)
+    assert float(score) > 0.9
+    assert abs(float(angle)) < 0.1
+
+
+def test_different_scene_lower_similarity(cfg):
+    rng = np.random.default_rng(2)
+    pts1, lab1 = make_scene(rng)
+    pts2, lab2 = make_scene(np.random.default_rng(99))
+    d1 = compute_desc(pts1, lab1, cfg)
+    d2 = compute_desc(pts2, lab2, cfg)
+    s_same, _ = epsc.descriptor_distance(d1.fepsc, d1.fepsc, jnp.float32(0.0), cfg)
+    s_diff, _ = epsc.descriptor_distance(d1.fepsc, d2.fepsc, jnp.float32(0.0), cfg)
+    assert float(s_same) > float(s_diff)
+
+
+def test_rotation_recovery_global_icp(cfg):
+    rng = np.random.default_rng(3)
+    yaw_true = 0.4
+    pts1, lab1 = make_scene(rng, n=6000)
+    # same world seen from a yawed sensor: sensor points rotate by -yaw
+    rng2 = np.random.default_rng(3)
+    pts2, lab2 = make_scene(rng2, n=6000, yaw=-yaw_true)
+    d1 = compute_desc(pts1, lab1, cfg)
+    d2 = compute_desc(pts2, lab2, cfg)
+    R2, t2, yaw, ok = epsc.global_icp(d1.signature, d2.signature,
+                                      jnp.float32(yaw_true))
+    assert bool(ok)
+    assert abs(float(yaw) - yaw_true) < 0.15
+    assert np.linalg.norm(np.asarray(t2)) < 1.0
+
+
+def test_label_similarity():
+    a = jnp.asarray(np.array([[1, 2], [0, 3]], np.float32))
+    b = jnp.asarray(np.array([[1, 5], [0, 3]], np.float32))
+    sim = float(epsc.label_similarity(a, b))
+    assert sim == pytest.approx(2 / 3)
+
+
+def test_loop_detector_end_to_end(cfg):
+    """Drive a loop: revisit the same place after > 20 m travelled."""
+    rng = np.random.default_rng(4)
+    pts, lab = make_scene(rng, n=6000)
+
+    det = epsc.LoopDetector(cfg)
+    inten = np.full(len(pts), 0.5, np.float32)
+
+    def desc_at(yaw, shift):
+        c, s = np.cos(-yaw), np.sin(-yaw)
+        p = pts.copy()
+        p[:, 0] -= shift[0]
+        p[:, 1] -= shift[1]
+        p = np.stack([c * p[:, 0] - s * p[:, 1],
+                      s * p[:, 0] + c * p[:, 1], p[:, 2]], 1).astype(np.float32)
+        return compute_desc(p, lab, cfg)
+
+    def recompute_factory(yaw, shift):
+        def recompute(R2, t2):
+            return desc_at(yaw, shift)  # approximation for the test
+        return recompute
+
+    # drive far away (straight line), then come back to the start
+    n_away = 14
+    path = []
+    for k in range(n_away):
+        path.append((0.0, (3.0 * k, 0.0)))
+    path.append((0.05, (0.5, 0.3)))  # revisit near the origin
+    results = []
+    for yaw, shift in path:
+        d = desc_at(yaw, shift)
+        out = det.add_and_detect(
+            d, np.array([shift[0], shift[1], yaw]), recompute_factory(yaw, shift)
+        )
+        results.append(out)
+    final = results[-1]
+    assert final, "revisit should produce a loop candidate"
+    assert final[0].matched_id <= 2  # matches one of the first few frames
+    assert final[0].score > cfg.distance_threshold
+
+
+# ----------------------------- pose graph ----------------------------------
+
+
+def _pose(rpy, xyz):
+    return np.asarray(
+        se3.pose_to_matrix(jnp.asarray(list(rpy) + list(xyz), dtype=jnp.float32))
+    )
+
+
+def test_pose_graph_corrects_drift():
+    """Square loop with odometry drift + one loop closure: GN should pull
+    the end node back onto the start."""
+    cfg = GraphConfig()
+    gb = pose_graph.GraphBuilder(cfg, max_nodes=16, max_edges=32, max_priors=4)
+    # ground truth: 8 nodes around a square (side 10)
+    gt = []
+    for k in range(8):
+        yaw = (np.pi / 2) * (k // 2)
+        side = k // 2
+        t = {0: (5 * (k % 2), 0), 1: (10, 5 * (k % 2)),
+             2: (10 - 5 * (k % 2), 10), 3: (0, 10 - 5 * (k % 2))}[side]
+        gt.append(_pose((0, 0, yaw), (t[0], t[1], 0)))
+    rng = np.random.default_rng(0)
+    # odometry measurements with systematic drift (bias per edge)
+    bias = np.asarray(se3.se3_exp(jnp.asarray(
+        [0.04, 0.02, 0.0, 0.0, 0.0, 0.004], dtype=jnp.float32)))
+    est = [gt[0]]
+    gb.add_node(gt[0])
+    for k in range(1, 8):
+        z_true = np.linalg.inv(gt[k - 1]) @ gt[k]
+        z = z_true @ bias
+        est.append(est[-1] @ z)
+        gb.add_node(est[-1])
+        gb.add_odom_edge(k - 1, k, z)
+    # tight loop closure: node 7 -> node 0 exact relative measurement
+    z_loop = np.linalg.inv(gt[7]) @ gt[0]
+    gb.add_loop_edge(7, 0, z_loop, scale=100.0)
+
+    before = np.linalg.norm(est[7][:3, 3] - gt[7][:3, 3])
+    opt = gb.optimize()
+    after = np.linalg.norm(opt[7][:3, 3] - gt[7][:3, 3])
+    assert after < before * 0.6, (before, after)
+    # node 0 pinned by prior
+    np.testing.assert_allclose(opt[0], gt[0], atol=1e-3)
+    # loop constraint satisfied
+    rel = np.linalg.inv(opt[7]) @ opt[0]
+    np.testing.assert_allclose(rel, z_loop, atol=0.05)
+
+
+def test_pose_graph_noop_when_consistent():
+    cfg = GraphConfig()
+    gb = pose_graph.GraphBuilder(cfg, max_nodes=8, max_edges=16, max_priors=4)
+    poses = [_pose((0, 0, 0.1 * k), (k, 0, 0)) for k in range(4)]
+    gb.add_node(poses[0])
+    for k in range(1, 4):
+        gb.add_node(poses[k])
+        gb.add_odom_edge(k - 1, k, np.linalg.inv(poses[k - 1]) @ poses[k])
+    opt = gb.optimize()
+    for k in range(4):
+        np.testing.assert_allclose(opt[k], poses[k], atol=1e-3)
+
+
+def test_gps_prior_pulls_node():
+    cfg = GraphConfig()
+    gb = pose_graph.GraphBuilder(cfg, max_nodes=8, max_edges=16, max_priors=4)
+    p0 = _pose((0, 0, 0), (0, 0, 0))
+    p1_est = _pose((0, 0, 0), (10.5, 0.4, 0))
+    gb.add_node(p0)
+    gb.add_node(p1_est)
+    gb.add_odom_edge(0, 1, np.linalg.inv(p0) @ p1_est)
+    gps = _pose((0, 0, 0), (10.0, 0.0, 0.0))
+    gb.add_gps_prior(1, gps, np.full(3, 0.002))
+    opt = gb.optimize()
+    np.testing.assert_allclose(opt[1][:3, 3], [10.0, 0.0, 0.0], atol=0.05)
