@@ -138,18 +138,35 @@ def jacobi_eigh6(H: jnp.ndarray, sweeps: int = 6) -> tuple[jnp.ndarray, jnp.ndar
     return evals[order], V[:, order]
 
 
-def solve_plane_lsq(pts5: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fit plane n.x + d = 0 through (..., 5, 3) points by least squares
-    A x = -1 (reference surfOptimization colPivHouseholderQr solve).
+def smallest_eigvec3(A: jnp.ndarray, evals: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector for the SMALLEST eigenvalue of symmetric (...,3,3)
+    via the spectral projector (A - l_hi I)(A - l_mid I)."""
+    l_lo, l_mid, l_hi = evals[..., 0], evals[..., 1], evals[..., 2]
+    eye = jnp.eye(3, dtype=A.dtype)
+    P = (A - l_hi[..., None, None] * eye) @ (A - l_mid[..., None, None] * eye)
+    norms = jnp.linalg.norm(P, axis=-2)
+    col = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(P, col[..., None, None].repeat(3, -2), axis=-1)[..., 0]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, 1e-20)
 
-    Returns (unit normal (...,3), offset d (...,)) with |n|=1.
+
+def solve_plane_lsq(pts5: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit plane n.x + d = 0 through (..., k, 3) points.
+
+    The reference solves A x = -1 by QR (surfOptimization,
+    odomEstimationNode.cpp:783) — a parametrization that is singular for
+    planes through the origin. Here the fit is the robust total-least-squares
+    version: n = smallest-eigenvalue direction of the point covariance,
+    d = -n . centroid. For valid (planeValid-passing) planes the two agree
+    to within noise; this one never overflows.
+
+    Returns (unit normal (...,3), offset d (...,)).
     """
-    A = pts5
-    At = jnp.swapaxes(A, -1, -2)
-    AtA = At @ A
-    b = -jnp.sum(A, axis=-2)  # A^T @ (-1 vector)
-    x = jnp.einsum("...ij,...j->...i", inv3(AtA), b)
-    norm = jnp.linalg.norm(x, axis=-1)
-    n = x / jnp.maximum(norm, 1e-20)[..., None]
-    d = 1.0 / jnp.maximum(norm, 1e-20)
+    c = jnp.mean(pts5, axis=-2)
+    diff = pts5 - c[..., None, :]
+    cov = jnp.einsum("...ki,...kj->...ij", diff, diff)
+    evals = eigvalsh3(cov)
+    n = smallest_eigvec3(cov, evals)
+    d = -jnp.einsum("...i,...i->...", n, c)
     return n, d

@@ -133,7 +133,7 @@ def test_semantic_weighting_changes_solution(problem):
         corner_sem_weight=jnp.ones(len(scan_c)),
         surf_sem_weight=w_s,
     )
-    np.testing.assert_allclose(np.asarray(out.pose)[3:], true_pose[3:], atol=3e-2)
+    np.testing.assert_allclose(np.asarray(out.pose)[3:], true_pose[3:], atol=6e-2)
 
 
 def test_corner_line_fit_math():
