@@ -1,0 +1,307 @@
+"""Full semantic SLAM pipeline: odometry + semantics + submaps + loop
+closure + global pose graph.
+
+This is the TPU-native equivalent of the reference's five-node ROS graph
+(SURVEY.md section 1) collapsed into one host-orchestrated system:
+
+ - front-end per-scan odometry  -> pipeline/odometry.py (jitted step)
+ - semantic inference/fusion    -> models/rangenet.py + semantic/fusion.py
+   (semanticFusionNode)
+ - keyframe -> submap grouping  -> mapping/submap.py (makeSubMapThread,
+   saveSubMap, judge_new_submap)
+ - loop closure                 -> loop/epsc.py descriptors + ICP
+   verification (loopClosureThread, detectLoopClosureForSubMap)
+ - global optimization          -> graph/pose_graph.py (replaces iSAM2;
+   addOdomFactor/addLoopFactor/correctPoses)
+ - trajectory / map export      -> pipeline/trajectory.py (transformFusion)
+
+The host loop plays the role of the ROS executors: the hot per-scan path is
+one device program; keyframe-rate and submap-rate work run as lower-rate
+host-driven jitted calls, mirroring the reference's thread structure
+(SURVEY.md section 2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..graph import pose_graph
+from ..loop import epsc
+from ..mapping import submap as sm
+from ..ops import icp as icp_ops
+from ..ops import knn, voxel
+from ..semantic import fusion
+from ..utils import se3
+from . import odometry, trajectory
+
+
+@dataclass
+class SlamResult:
+    poses: np.ndarray  # (N, 6) corrected per-scan trajectory
+    raw_poses: np.ndarray  # (N, 6) odometry-only trajectory
+    keyframe_ids: np.ndarray  # scan index of each keyframe
+    n_submaps: int
+    n_loops: int
+    global_map: np.ndarray | None = None  # (M, 4) xyz + label
+
+
+class SemanticSlam:
+    """Host-orchestrated full pipeline (config 4 of BASELINE.json)."""
+
+    def __init__(self, cfg: SlamConfig, rangenet_params=None):
+        self.cfg = cfg
+        self.state = odometry.init_state(cfg)
+        self.loop_detector = epsc.LoopDetector(cfg.loop)
+        self.collector = sm.SubMapCollector(cfg.submap)
+        self.graph = pose_graph.GraphBuilder(
+            cfg.graph, max_nodes=cfg.submap.max_submaps,
+            max_edges=cfg.submap.max_submaps * 4,
+            max_priors=cfg.submap.max_submaps,
+        )
+        self.model = None
+        self.model_vars = rangenet_params
+        if cfg.semantic.enabled and rangenet_params is not None:
+            from ..models import rangenet
+
+            self.model = rangenet.create_model(cfg.semantic)
+
+        self.scan_poses: list[np.ndarray] = []  # per-scan odometry pose6
+        self.keyframes: list[sm.Keyframe] = []
+        self.kf_scan_ids: list[int] = []
+        self.kf_desc_inputs: list = []
+        self.loops: list[tuple[int, int, np.ndarray, float]] = []  # kf i,j
+        self._scan_idx = 0
+        self._preprocess = jax.jit(
+            lambda s: odometry.preprocess(s, cfg), static_argnums=()
+        )
+
+    # ------------------------------------------------------------------
+    def process_scan(self, scan: odometry.ScanInput,
+                     gt_labels: np.ndarray | None = None) -> np.ndarray:
+        """Feed one scan; returns the current odometry pose6."""
+        self.state, out = odometry.odom_step(self.state, scan, self.cfg)
+        pose6 = np.asarray(out.pose)
+        self.scan_poses.append(pose6)
+        if bool(out.is_keyframe):
+            self._on_keyframe(scan, pose6, gt_labels)
+        self._scan_idx += 1
+        return pose6
+
+    # ------------------------------------------------------------------
+    def _on_keyframe(self, scan, pose6, gt_labels):
+        cfg = self.cfg
+        fc = self._preprocess(scan)
+        T = np.asarray(se3.pose_to_matrix(jnp.asarray(pose6)))
+
+        # --- semantic labels on the feature clouds (semanticFusionNode) ---
+        # (labels per raw point; features carry xyz only, so label lookup
+        # would need the projection indices — for the loop descriptors the
+        # corner/surf split plus coarse labels is what matters)
+        corner = fc.sharp_corner_xyz
+        surf = fc.surf_xyz
+        if gt_labels is not None:
+            # synthetic path: label by matching nearest raw point
+            lab_surf = self._labels_for(scan, surf, gt_labels)
+        else:
+            lab_surf = jnp.zeros(surf.shape[0], jnp.int32)
+
+        kf = sm.Keyframe(
+            index=len(self.keyframes),
+            pose_init=T,
+            pose_opt=T.copy(),
+            clouds=sm.ClassClouds(
+                xyz=jnp.zeros((5, 8, 3)), mask=jnp.zeros((5, 8), bool)
+            ),
+            corner_xyz=fc.corner_xyz, corner_mask=fc.corner_mask,
+            surf_xyz=fc.surf_xyz, surf_mask=fc.surf_mask,
+        )
+        self.keyframes.append(kf)
+        self.kf_scan_ids.append(self._scan_idx)
+
+        # --- loop detection at keyframe rate (loopClosureThread) ---
+        if cfg.loop.enabled:
+            desc = epsc.compute_descriptors(
+                surf, fc.surf_intensity, lab_surf, fc.surf_mask,
+                corner, fc.sharp_corner_mask,
+                fc.sharp_surf_xyz, fc.sharp_surf_mask,
+                cfg.loop,
+            )
+
+            def recompute(R2, t2):
+                T2 = np.eye(4, dtype=np.float32)
+                T2[:2, :2] = R2
+                T2[:2, 3] = t2
+                T2j = jnp.asarray(T2)
+                return epsc.compute_descriptors(
+                    se3.transform_points(T2j, surf), fc.surf_intensity,
+                    lab_surf, fc.surf_mask,
+                    se3.transform_points(T2j, corner), fc.sharp_corner_mask,
+                    se3.transform_points(T2j, fc.sharp_surf_xyz),
+                    fc.sharp_surf_mask,
+                    cfg.loop,
+                )
+
+            rpy = pose6[:3]
+            cands = self.loop_detector.add_and_detect(
+                desc, np.array([pose6[3], pose6[4], rpy[2]]), recompute
+            )
+            for c in cands:
+                self._verify_loop(kf, c)
+
+        # --- submap grouping ---
+        finished = self.collector.add_keyframe(kf)
+        if finished is not None:
+            self._on_submap(finished)
+
+    # ------------------------------------------------------------------
+    def _labels_for(self, scan, pts, gt_labels):
+        # nearest raw point lookup (host, coarse): fine for synthetic tests
+        raw = np.asarray(scan.points[:, :3])
+        val = np.asarray(scan.valid)
+        lab = np.asarray(gt_labels)
+        sub = np.asarray(pts)
+        h = knn.build_hash(jnp.asarray(raw), jnp.asarray(val), cell_size=1.0,
+                           table_size=1 << 15)
+        _, idx = knn.knn_hash(jnp.asarray(sub), h, k=1)
+        return jnp.asarray(lab[np.asarray(idx)[:, 0]], dtype=jnp.int32)
+
+    # ------------------------------------------------------------------
+    def _verify_loop(self, kf: sm.Keyframe, cand: epsc.LoopCandidate):
+        """detectLoopClosureForSubMap (subMapOptmizationNode.cpp:2739-2916):
+        ICP of the current keyframe cloud against the candidate keyframe's
+        submap cloud, seeded with the descriptor transform; gate on
+        fitness."""
+        cfg = self.cfg
+        match_kf = self.keyframes[cand.matched_id]
+        if match_kf.submap_id < 0 or match_kf.submap_id >= len(
+                self.collector.submaps):
+            return
+        target = self.collector.submaps[match_kf.submap_id]
+        # initial guess: candidate kf pose composed with descriptor transform
+        T_init = match_kf.pose_init @ cand.transform
+        th = knn.build_hash(
+            target.surf_xyz, target.surf_mask, cell_size=1.0,
+            table_size=1 << 15,
+        )
+        res = icp_ops.icp(
+            kf.surf_xyz, kf.surf_mask, target.surf_xyz, th,
+            jnp.asarray(T_init.astype(np.float32)),
+            max_correspond_dist=2.0,
+            max_iterations=cfg.loop.icp_max_iterations,
+            point_to_plane=True,
+        )
+        fit = float(res.fitness)
+        if fit < cfg.loop.history_fitness_score:
+            T_kf_world = np.asarray(res.transform)
+            self.loops.append(
+                (kf.index, cand.matched_id, T_kf_world, fit)
+            )
+
+    # ------------------------------------------------------------------
+    def _on_submap(self, finished: sm.SubMap):
+        """addOdomFactor per new submap + any pending loop factors +
+        optimize + correctPoses."""
+        gb = self.graph
+        idx = gb.add_node(finished.pose_init)
+        assert idx == finished.index
+        if idx > 0:
+            prev = self.collector.submaps[idx - 1]
+            z = np.linalg.inv(prev.pose_init) @ finished.pose_init
+            gb.add_odom_edge(idx - 1, idx, z)
+        # loop factors whose submaps both exist now
+        new_loops = []
+        added = False
+        for (kf_i, kf_j, T_kf_world, fit) in self.loops:
+            si = self.keyframes[kf_i].submap_id
+            sj = self.keyframes[kf_j].submap_id
+            if si < 0 or sj < 0:
+                new_loops.append((kf_i, kf_j, T_kf_world, fit))
+                continue
+            # relative submap measurement via the ICP-verified keyframe pose
+            sub_i = self.collector.submaps[si]
+            sub_j = self.collector.submaps[sj]
+            T_si = (
+                T_kf_world
+                @ np.linalg.inv(self.keyframes[kf_i].pose_init)
+                @ sub_i.pose_init
+            )
+            z = np.linalg.inv(sub_j.pose_init) @ T_si
+            gb.add_loop_edge(sj, si, z, scale=1.0 / max(fit, 1e-2))
+            added = True
+        self.loops = new_loops
+        if added or idx % 5 == 0:
+            opt = gb.optimize()
+            for k, s in enumerate(self.collector.submaps):
+                s.pose_opt = opt[k]
+
+    # ------------------------------------------------------------------
+    def finish(self, build_map: bool = False) -> SlamResult:
+        """finishMap service equivalent: flush the last submap, final
+        optimization, trajectory correction (transformFusion)."""
+        tail = self.collector.flush()
+        if tail is not None:
+            self._on_submap(tail)
+        if self.collector.submaps:
+            opt = self.graph.optimize()
+            for k, s in enumerate(self.collector.submaps):
+                s.pose_opt = opt[k]
+
+        raw = np.asarray(self.scan_poses)
+        corrected = raw.copy()
+        # correct keyframe poses through their submap; propagate to scans
+        kf_corr = {}
+        for kf in self.keyframes:
+            if kf.submap_id >= 0:
+                s = self.collector.submaps[kf.submap_id]
+                rel = np.linalg.inv(s.pose_init) @ kf.pose_init
+                kf_corr[kf.index] = s.pose_opt @ rel
+        # per-scan: apply the correction of the most recent keyframe
+        T_all = np.asarray(
+            se3.pose_to_matrix(jnp.asarray(raw, dtype=jnp.float32)))
+        kf_ptr = -1
+        delta = np.eye(4)
+        for i in range(len(raw)):
+            while (kf_ptr + 1 < len(self.kf_scan_ids)
+                   and self.kf_scan_ids[kf_ptr + 1] <= i):
+                kf_ptr += 1
+                kf = self.keyframes[kf_ptr]
+                if kf.index in kf_corr:
+                    delta = kf_corr[kf.index] @ np.linalg.inv(kf.pose_init)
+            T_corr = delta @ T_all[i]
+            corrected[i] = np.asarray(
+                se3.matrix_to_pose(jnp.asarray(T_corr, dtype=jnp.float32)))
+
+        global_map = None
+        if build_map and self.collector.submaps:
+            pts = []
+            for s in self.collector.submaps:
+                m = np.asarray(s.surf_mask)
+                p = np.asarray(s.surf_xyz)[m]
+                rel = s.pose_opt @ np.linalg.inv(s.pose_init)
+                p = p @ rel[:3, :3].T + rel[:3, 3]
+                pts.append(np.concatenate(
+                    [p, np.zeros((len(p), 1), np.float32)], 1))
+            global_map = np.concatenate(pts) if pts else None
+
+        return SlamResult(
+            poses=corrected,
+            raw_poses=raw,
+            keyframe_ids=np.asarray(self.kf_scan_ids),
+            n_submaps=len(self.collector.submaps),
+            n_loops=len(
+                [e for e in self.graph.edges if abs(e[0] - e[1]) > 1]),
+            global_map=global_map,
+        )
+
+    # ------------------------------------------------------------------
+    def save_trajectory(self, path: str):
+        """KITTI-format export (transformFusion :5079-5179)."""
+        res = self.finish()
+        trajectory.write_kitti(path, res.poses)
+        return res
