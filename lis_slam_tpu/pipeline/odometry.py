@@ -107,6 +107,14 @@ class ScanInput(NamedTuple):
     imu_gyro: jnp.ndarray  # (M, 3)
     imu_valid: jnp.ndarray  # (M,)
     scan_start: jnp.ndarray  # () absolute seconds
+    # optional external initial guess (IMU preintegration / fusion odometry;
+    # updateInitialGuess cascade, odomEstimationNode.cpp:297-419)
+    init_guess: jnp.ndarray = jnp.zeros(6)  # (6,)
+    init_guess_valid: jnp.ndarray = jnp.bool_(False)
+    # IMU orientation at scan start for roll/pitch slerp fusion
+    # (transformUpdate, odomEstimationNode.cpp:976-1006)
+    imu_rpy: jnp.ndarray = jnp.zeros(3)
+    imu_rpy_valid: jnp.ndarray = jnp.bool_(False)
 
 
 def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
@@ -191,13 +199,20 @@ def odom_step(state: OdomState, scan: ScanInput,
     """Process one scan end-to-end (preprocess + match + map update)."""
     fc = preprocess(scan, cfg)
 
-    # ---- initial guess: constant velocity (updateInitialGuess :297-419,
-    # lidar-only branch: incremental odometry increment) ----
+    # ---- initial guess cascade (updateInitialGuess :297-419):
+    # external (IMU preintegration) guess > constant velocity > hold ----
     T_prev = se3.pose_to_matrix(state.pose)
     guess_T = T_prev @ state.incr
     guess = se3.matrix_to_pose(guess_T)
+    guess = jnp.where(scan.init_guess_valid, scan.init_guess, guess)
     first = state.kf_count == 0
-    guess = jnp.where(first, state.pose, guess)
+    # first frame: IMU roll/pitch if available (reference seeds attitude)
+    first_guess = jnp.where(
+        scan.imu_rpy_valid,
+        jnp.concatenate([scan.imu_rpy[:2], state.pose[2:]]),
+        state.pose,
+    )
+    guess = jnp.where(first, first_guess, guess)
 
     # ---- scan-to-map optimization on the sharp clouds (:596-626) ----
     gn = scan_match.scan_to_map(
@@ -209,6 +224,25 @@ def odom_step(state: OdomState, scan: ScanInput,
         cfg.matching, cfg.matching.max_iterations_frontend,
     )
     pose = jnp.where(first, guess, gn.pose)
+
+    # IMU roll/pitch slerp fusion (transformUpdate :979-1001): blend the
+    # optimized roll/pitch toward the IMU attitude with weight imuRPYWeight
+    do_slerp = scan.imu_rpy_valid & (jnp.abs(scan.imu_rpy[1]) < 1.4)
+    w_imu = cfg.imu.rpy_weight
+    q_roll = se3.quat_slerp(
+        se3.euler_to_quat(jnp.array([1.0, 0.0, 0.0]) * pose[0]),
+        se3.euler_to_quat(jnp.array([1.0, 0.0, 0.0]) * scan.imu_rpy[0]),
+        w_imu,
+    )
+    q_pitch = se3.quat_slerp(
+        se3.euler_to_quat(jnp.array([0.0, 1.0, 0.0]) * pose[1]),
+        se3.euler_to_quat(jnp.array([0.0, 1.0, 0.0]) * scan.imu_rpy[1]),
+        w_imu,
+    )
+    roll_f = se3.quat_to_euler(q_roll)[0]
+    pitch_f = se3.quat_to_euler(q_pitch)[1]
+    pose = pose.at[0].set(jnp.where(do_slerp, roll_f, pose[0]))
+    pose = pose.at[1].set(jnp.where(do_slerp, pitch_f, pose[1]))
 
     # constraintTransformation clamps (transformUpdate :976-1006)
     pose = pose.at[0].set(
