@@ -1,0 +1,76 @@
+"""Batched multi-sequence replay + profiling utilities."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lis_slam_tpu.parallel import batched, mesh as pmesh
+from lis_slam_tpu.pipeline import driver, odometry
+from lis_slam_tpu.utils import profiling
+from lis_slam_tpu.io import synthetic
+from tests.test_slam_pipeline import tiny_cfg
+
+
+def test_stage_timer():
+    logs = []
+    t = profiling.StageTimer(log_every=2, log_fn=logs.append)
+    for _ in range(4):
+        with t.stage("foo"):
+            pass
+    rep = t.report()
+    assert rep["foo"]["count"] == 4
+    assert len(logs) == 2
+    assert "foo" in t.summary()
+
+
+@pytest.mark.slow
+def test_batched_replay_matches_single(tmp_path):
+    """Two identical sequences replayed batched must produce the same poses
+    as the single-sequence driver."""
+    import lis_slam_tpu.io.synthetic as syn
+
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        from tests.test_slam_pipeline import sequence  # reuse geometry code
+        rng = np.random.default_rng(9)
+        boxes = [[-30, -5, 0, -20, 5, 8], [20, -5, 0, 30, 5, 8],
+                 [-5, 15, 0, 5, 25, 10], [-5, -25, 0, 5, -15, 10]]
+        labels = [synthetic.LBL_BUILDING] * 4
+        poles = [[10 * np.cos(a), 10 * np.sin(a), 0.15, 5.0]
+                 for a in np.linspace(0, 2 * np.pi, 12)]
+        world = synthetic.World(
+            boxes=np.asarray(boxes, float),
+            box_labels=np.asarray(labels, np.int32),
+            poles=np.asarray(poles))
+        cfg = tiny_cfg()
+        n = 8
+        gt = synthetic.circular_trajectory(n + 1, radius=4.0, speed=3.0)
+        scans = [
+            synthetic.render_scan(world, gt[i], None, n_scan=16, horizon=900,
+                                  seed=400 + i, max_range=90.0)
+            for i in range(n)
+        ]
+        sins = [driver.pad_scan(s.points[s.valid], cfg) for s in scans]
+
+        # single
+        state = odometry.init_state(cfg)
+        single = []
+        for sin in sins:
+            state, out = odometry.odom_step(state, sin, cfg)
+            single.append(np.asarray(out.pose))
+        single = np.asarray(single)
+
+        # batched x2 on the 8-device CPU mesh
+        m = pmesh.make_mesh(8, model_parallel=1)
+        poses = batched.replay_batched([sins, sins], cfg, mesh=None)
+        assert poses.shape == (2, n, 6)
+        # identical sequences in one batch must agree exactly
+        np.testing.assert_array_equal(poses[0], poses[1])
+        # vs the unbatched step: vmap changes f32 reduction order, so allow
+        # sub-cm numeric divergence through the iterative solver
+        np.testing.assert_allclose(poses[0], single, atol=5e-3)
+    finally:
+        syn.hdl64_elevations = orig
