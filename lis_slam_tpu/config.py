@@ -129,7 +129,7 @@ class MatchingConfig:
     corner_map_capacity: int = 32768
     surf_map_capacity: int = 131072
     # voxel-hash NN parameters
-    hash_table_slots: int = 1 << 17
+    hash_table_slots: int = 1 << 15
     hash_bucket_size: int = 16
 
 
