@@ -74,6 +74,29 @@ def main():
     gt_rel = trajectory.relative_to_first(gt[:n_scans])
     ate = trajectory.ate_rmse(poses, gt_rel, align=False)
 
+    # ---- batched multi-sequence replay (config 5): aggregate throughput.
+    # Off by default: under vmap, lax.cond runs both branches, so every
+    # sequence pays the keyframe map rebuild every scan — the batched path
+    # needs a cond-free step variant before its throughput is meaningful. ----
+    from lis_slam_tpu.parallel import batched as pb
+
+    B = int(os.environ.get("BENCH_BATCH", "0"))
+    sps_batched = 0.0
+    if B > 0:
+        n_b = min(12, n_scans)
+        bstates = pb.batched_init_state(cfg, B)
+        stack = lambda sin: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), sin)
+        bscans = [stack(s) for s in padded[:n_b]]
+        bstates, _ = pb.batched_odom_step(bstates, bscans[0], cfg)
+        jax.block_until_ready(bstates)
+        tb = time.perf_counter()
+        for bs in bscans[1:]:
+            bstates, _ = pb.batched_odom_step(bstates, bs, cfg)
+        jax.block_until_ready(bstates)
+        wall_b = time.perf_counter() - tb
+        sps_batched = B * (n_b - 1) / wall_b
+
     result = {
         "metric": "scans_per_sec",
         "value": round(sps, 2),
@@ -82,6 +105,8 @@ def main():
         "extra": {
             "ate_m": round(float(ate), 4),
             "n_scans": n_scans,
+            "batched_scans_per_sec": round(sps_batched, 2),
+            "batch": B,
             "device": str(jax.devices()[0]),
         },
     }

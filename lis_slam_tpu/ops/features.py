@@ -126,44 +126,51 @@ def _select_row_features_vectorized(curv, picked, col, count, cfg: FeatureConfig
     )
 
     free = ~picked
+    ns = cfg.sectors_per_ring
     # ---- corners: local maxima above edge threshold ----
     c_cand = free & (curv > cfg.edge_threshold)
     neigh_max = _window_extreme(jnp.where(free, curv, -_BIG), 5, "max")
     c_local = c_cand & (curv >= neigh_max)
-    # rank corners per (ring, sector): keep top max_corners, top sharp
-    corner_flag = jnp.zeros_like(c_local)
-    sharp_corner_flag = jnp.zeros_like(c_local)
     # ---- surfs: local minima below surf threshold ----
     s_cand = free & (curv < cfg.surf_threshold)
     neigh_min = _window_extreme(jnp.where(free, curv, _BIG), 5, "min")
     s_local = s_cand & (curv <= neigh_min)
-    sharp_surf_flag = jnp.zeros_like(s_local)
 
-    for s in range(cfg.sectors_per_ring):
-        in_s = sector == s
-        score_c = jnp.where(c_local & in_s, curv, -_BIG)
-        top_v, top_i = jax.lax.top_k(score_c, cfg.max_corners_per_sector)
-        ok = top_v > -_BIG
-        rows = jnp.broadcast_to(
-            jnp.arange(n)[:, None], (n, cfg.max_corners_per_sector)
-        )
-        corner_flag = corner_flag.at[rows, top_i].max(ok)
-        sharp_corner_flag = sharp_corner_flag.at[
-            rows[:, : cfg.max_sharp_corners_per_sector],
-            top_i[:, : cfg.max_sharp_corners_per_sector],
-        ].max(ok[:, : cfg.max_sharp_corners_per_sector])
+    # ONE batched top-k over a (rows*sectors, H) layout instead of a python
+    # loop of per-sector top_k + flag scatters (each costs ~0.5 ms on TPU)
+    sector_onehot = sector[:, None, :] == jnp.arange(ns)[None, :, None]
+    score_c = jnp.where(
+        c_local[:, None, :] & sector_onehot, curv[:, None, :], -_BIG
+    ).reshape(n * ns, h)
+    top_v, top_i = jax.lax.top_k(score_c, cfg.max_corners_per_sector)
+    corner_ok = (top_v > -_BIG).reshape(n, ns, -1)
+    corner_idx = top_i.reshape(n, ns, -1)  # slot within row
 
-        score_s = jnp.where(s_local & in_s, -curv, -_BIG)
-        stop_v, stop_i = jax.lax.top_k(score_s, cfg.max_sharp_surfs_per_sector)
-        sok = stop_v > -_BIG
-        srows = jnp.broadcast_to(
-            jnp.arange(n)[:, None], (n, cfg.max_sharp_surfs_per_sector)
-        )
-        sharp_surf_flag = sharp_surf_flag.at[srows, stop_i].max(sok)
+    score_s = jnp.where(
+        s_local[:, None, :] & sector_onehot, -curv[:, None, :], -_BIG
+    ).reshape(n * ns, h)
+    stop_v, stop_i = jax.lax.top_k(score_s, cfg.max_sharp_surfs_per_sector)
+    ssurf_ok = (stop_v > -_BIG).reshape(n, ns, -1)
+    ssurf_idx = stop_i.reshape(n, ns, -1)
 
+    # single scatter for the corner flag array (needed for the surf cloud)
+    rows = jax.lax.broadcasted_iota(jnp.int32, corner_idx.shape, 0)
+    flat = jnp.where(corner_ok, rows * h + corner_idx, n * h).reshape(-1)
+    corner_flag = (
+        jnp.zeros(n * h + 1, bool).at[flat].set(True)[: n * h].reshape(n, h)
+    )
+    sharp_corner = (
+        corner_idx[:, :, : cfg.max_sharp_corners_per_sector],
+        corner_ok[:, :, : cfg.max_sharp_corners_per_sector],
+    )
     in_any = (idx >= 5) & (idx <= count[:, None] - 6)
     surf_flag = in_any & ~corner_flag  # cloudLabel <= 0: everything non-corner
-    return corner_flag, sharp_corner_flag, surf_flag, sharp_surf_flag
+    return (
+        (corner_idx, corner_ok),
+        sharp_corner,
+        surf_flag,
+        (ssurf_idx, ssurf_ok),
+    )
 
 
 def _sector_bounds(count: jnp.ndarray, n_sectors: int):
@@ -281,6 +288,23 @@ def _extract_row(curv, picked, col, cfg: FeatureConfig, count):
     return corner_flag, sharp_corner_flag, surf_flag, sharp_surf_flag
 
 
+def _gather_indexed(xyz, inten, idx, ok, capacity):
+    """Compact (row, slot)-indexed selections into a fixed buffer.
+    xyz (N,H,3); idx (N,S,K) slot indices; ok (N,S,K) validity."""
+    n, h = xyz.shape[:2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    flat = (rows * h + jnp.clip(idx, 0, h - 1)).reshape(-1)
+    pts = xyz.reshape(-1, 3)[flat]
+    ints = inten.reshape(-1)[flat]
+    okf = ok.reshape(-1)
+    pos = jnp.cumsum(okf) - 1
+    dest = jnp.where(okf & (pos < capacity), pos, capacity)
+    buf = jnp.zeros((capacity + 1, 3), xyz.dtype).at[dest].set(pts)[:capacity]
+    ibuf = jnp.zeros((capacity + 1,), inten.dtype).at[dest].set(ints)[:capacity]
+    cnt = jnp.minimum(jnp.sum(okf.astype(jnp.int32)), capacity)
+    return buf, ibuf, jnp.arange(capacity) < cnt
+
+
 def _gather_flagged(xyz, inten, flag, capacity):
     """Compact flagged points (N,H,...) into a fixed-capacity buffer."""
     n, h = flag.shape
@@ -312,23 +336,34 @@ def extract_features(ext: ExtractedCloud, cfg: FeatureConfig,
         corner_f, sharp_corner_f, surf_f, sharp_surf_f = row_fn(
             curv, picked, ext.col, ext.count
         )
+        corner_xyz, corner_int, corner_mask = _gather_flagged(
+            ext.xyz, ext.intensity, corner_f, cfg.max_corner_points
+        )
+        sharp_xyz, _si, sharp_mask = _gather_flagged(
+            ext.xyz, ext.intensity, sharp_corner_f, cfg.max_sharp_corner_points
+        )
+        surf_xyz, surf_int, surf_mask = _gather_flagged(
+            ext.xyz, ext.intensity, surf_f, cfg.max_surf_points
+        )
+        ssurf_xyz, _ssi, ssurf_mask = _gather_flagged(
+            ext.xyz, ext.intensity, sharp_surf_f, cfg.max_sharp_surf_points
+        )
     else:
-        corner_f, sharp_corner_f, surf_f, sharp_surf_f = (
+        corner_sel, sharp_sel, surf_f, ssurf_sel = (
             _select_row_features_vectorized(curv, picked, ext.col, ext.count, cfg)
         )
-
-    corner_xyz, corner_int, corner_mask = _gather_flagged(
-        ext.xyz, ext.intensity, corner_f, cfg.max_corner_points
-    )
-    sharp_xyz, _si, sharp_mask = _gather_flagged(
-        ext.xyz, ext.intensity, sharp_corner_f, cfg.max_sharp_corner_points
-    )
-    surf_xyz, surf_int, surf_mask = _gather_flagged(
-        ext.xyz, ext.intensity, surf_f, cfg.max_surf_points
-    )
-    ssurf_xyz, _ssi, ssurf_mask = _gather_flagged(
-        ext.xyz, ext.intensity, sharp_surf_f, cfg.max_sharp_surf_points
-    )
+        corner_xyz, corner_int, corner_mask = _gather_indexed(
+            ext.xyz, ext.intensity, *corner_sel, cfg.max_corner_points
+        )
+        sharp_xyz, _si, sharp_mask = _gather_indexed(
+            ext.xyz, ext.intensity, *sharp_sel, cfg.max_sharp_corner_points
+        )
+        ssurf_xyz, _ssi, ssurf_mask = _gather_indexed(
+            ext.xyz, ext.intensity, *ssurf_sel, cfg.max_sharp_surf_points
+        )
+        surf_xyz, surf_int, surf_mask = _gather_flagged(
+            ext.xyz, ext.intensity, surf_f, cfg.max_surf_points
+        )
     return FeatureClouds(
         corner_xyz=corner_xyz,
         corner_mask=corner_mask,

@@ -93,6 +93,102 @@ def project(
     return RangeImage(rng=rng_img, xyz=xyz_img, intensity=int_img, time=time_img, mask=mask)
 
 
+def project_and_extract(
+    points: jnp.ndarray,  # (P, 3) deskewed xyz
+    intensity: jnp.ndarray,
+    ring: jnp.ndarray,
+    rel_time: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: SensorConfig,
+) -> tuple[RangeImage, ExtractedCloud]:
+    """Fused projection + extraction via ONE sort (production path).
+
+    TPU scatters with colliding indices are slow; instead, points are sorted
+    by a packed (pixel, quantized-range) key so the first entry per pixel is
+    the nearest-range winner AND winners come out in row-major pixel order —
+    exactly the cloudExtraction compaction order. Two unique-index scatters
+    then materialize the grid image and the per-row compacted cloud.
+
+    Equivalent to project() + extract() up to range quantization (~4 mm
+    winner ties); validated against the reference pair in tests.
+    """
+    n, h = cfg.n_scan, cfg.horizon_scan
+    p_cap = points.shape[0]
+    x, y = points[:, 0], points[:, 1]
+    rng = jnp.linalg.norm(points, axis=-1)
+    ok = valid & (rng >= cfg.lidar_min_range) & (rng <= cfg.lidar_max_range)
+    ok &= (ring >= 0) & (ring < n)
+    if cfg.downsample_rate > 1:
+        ok = ok & (ring % cfg.downsample_rate == 0)
+    ang_res = 360.0 / h
+    horizon_angle = jnp.arctan2(x, y) * (180.0 / jnp.pi)
+    col = (-jnp.round((horizon_angle - 90.0) / ang_res)).astype(jnp.int32) + h // 2
+    col = jnp.where(col >= h, col - h, col)
+    ok = ok & (col >= 0) & (col < h)
+
+    pix = ring * h + col
+    rq = jnp.clip(rng * (16383.0 / max(cfg.lidar_max_range, 1e-3)),
+                  0, 16382).astype(jnp.int32)
+    key = jnp.where(ok, pix * 16384 + rq, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    ks = key[order]
+    kpix = ks // 16384
+    first = jnp.concatenate([jnp.ones(1, bool), kpix[1:] != kpix[:-1]])
+    first = first & (ks != 2**31 - 1)
+
+    # compact winners to the front, preserving pixel order
+    ridx = jnp.arange(p_cap, dtype=jnp.int32)
+    rank = jnp.where(first, ridx, jnp.int32(p_cap) + ridx)
+    order2 = jnp.argsort(rank)
+    sel = order[order2]  # original indices, winners first in pixel order
+    win_pix = kpix[order2]  # winner pixel ids (ascending), garbage after cnt
+    cnt = jnp.sum(first.astype(jnp.int32))
+    wslot = jnp.arange(p_cap)
+    wvalid = wslot < cnt
+
+    payload = jnp.concatenate(
+        [
+            rng[:, None], points, intensity[:, None], rel_time[:, None],
+            (pix % h).astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (P, 7): range, xyz, intensity, time, col
+    wp = payload[sel]
+    wp = jnp.where(wvalid[:, None], wp, 0.0)
+
+    # grid image: one unique-index scatter
+    gdest = jnp.where(wvalid, win_pix, n * h)
+    grid = jnp.zeros((n * h + 1, 7), jnp.float32).at[gdest].set(
+        wp, unique_indices=True)[: n * h]
+    rng_img = jnp.where(grid[:, 0] > 0, grid[:, 0], _INVALID_RANGE)
+    img = RangeImage(
+        rng=rng_img.reshape(n, h),
+        xyz=grid[:, 1:4].reshape(n, h, 3),
+        intensity=grid[:, 4].reshape(n, h),
+        time=grid[:, 5].reshape(n, h),
+        mask=(grid[:, 0] > 0).reshape(n, h),
+    )
+
+    # per-row compaction: slot within row = global winner index - row start
+    win_row = jnp.where(wvalid, win_pix // h, n)
+    row_start = jnp.searchsorted(win_row, jnp.arange(n + 1)).astype(jnp.int32)
+    slot = wslot - row_start[jnp.clip(win_row, 0, n - 1)]
+    cdest = jnp.where(wvalid & (slot < h), win_row * h + slot, n * h)
+    comp = jnp.zeros((n * h + 1, 7), jnp.float32).at[cdest].set(
+        wp, unique_indices=True)[: n * h].reshape(n, h, 7)
+    count = row_start[1:] - row_start[:-1]
+    mask = jnp.arange(h)[None, :] < count[:, None]
+    ext = ExtractedCloud(
+        rng=jnp.where(mask, comp[..., 0], _INVALID_RANGE),
+        xyz=comp[..., 1:4],
+        intensity=comp[..., 4],
+        col=jnp.where(mask, comp[..., 6].astype(jnp.int32), -1),
+        count=count,
+        mask=mask,
+    )
+    return img, ext
+
+
 def extract(img: RangeImage) -> ExtractedCloud:
     """Per-row stable compaction of valid pixels (cloudExtraction).
 

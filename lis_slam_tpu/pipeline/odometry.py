@@ -129,10 +129,9 @@ def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
         )
     else:
         pts = pre.points[:, :3]
-    img = projection.project(
+    _img, ext = projection.project_and_extract(
         pts, pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg.sensor
     )
-    ext = projection.extract(img)
     return feat_ops.extract_features(ext, cfg.feature)
 
 

@@ -282,3 +282,26 @@ def test_corner_on_step_edge():
     assert curv[28:36].max() > fcfg.edge_threshold
     # the step's near side is occlusion-masked (depth2 - depth1 > 0.3)
     assert np.asarray(picked)[0, 32:38].all()
+
+
+def test_fused_project_extract_matches_pair(scan, cfg):
+    """project_and_extract == project() + extract() up to ~4 mm range-tie
+    winner differences."""
+    pre = pretreatment.pretreat(
+        jnp.asarray(scan.points), jnp.asarray(scan.valid), cfg
+    )
+    img_a = projection.project(
+        pre.points[:, :3], pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg
+    )
+    ext_a = projection.extract(img_a)
+    img_b, ext_b = projection.project_and_extract(
+        pre.points[:, :3], pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg
+    )
+    ma, mb = np.asarray(img_a.mask), np.asarray(img_b.mask)
+    np.testing.assert_array_equal(ma, mb)
+    ra, rb = np.asarray(img_a.rng), np.asarray(img_b.rng)
+    assert np.abs(ra[ma] - rb[ma]).max() < 0.02  # winner ties within 4 mm buckets
+    np.testing.assert_array_equal(np.asarray(ext_a.count), np.asarray(ext_b.count))
+    np.testing.assert_array_equal(np.asarray(ext_a.col), np.asarray(ext_b.col))
+    assert np.abs(np.asarray(ext_a.rng)[np.asarray(ext_a.mask)]
+                  - np.asarray(ext_b.rng)[np.asarray(ext_b.mask)]).max() < 0.02
