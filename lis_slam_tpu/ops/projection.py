@@ -100,7 +100,8 @@ def project_and_extract(
     rel_time: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: SensorConfig,
-) -> tuple[RangeImage, ExtractedCloud]:
+    want_image: bool = True,
+) -> tuple[RangeImage | None, ExtractedCloud]:
     """Fused projection + extraction via ONE sort (production path).
 
     TPU scatters with colliding indices are slow; instead, points are sorted
@@ -156,18 +157,21 @@ def project_and_extract(
     wp = payload[sel]
     wp = jnp.where(wvalid[:, None], wp, 0.0)
 
-    # grid image: one unique-index scatter
-    gdest = jnp.where(wvalid, win_pix, n * h)
-    grid = jnp.zeros((n * h + 1, 7), jnp.float32).at[gdest].set(
-        wp, unique_indices=True)[: n * h]
-    rng_img = jnp.where(grid[:, 0] > 0, grid[:, 0], _INVALID_RANGE)
-    img = RangeImage(
-        rng=rng_img.reshape(n, h),
-        xyz=grid[:, 1:4].reshape(n, h, 3),
-        intensity=grid[:, 4].reshape(n, h),
-        time=grid[:, 5].reshape(n, h),
-        mask=(grid[:, 0] > 0).reshape(n, h),
-    )
+    # grid image: one unique-index scatter (skippable — the LOAM front end
+    # only needs the compacted cloud; semantics need the image)
+    img = None
+    if want_image:
+        gdest = jnp.where(wvalid, win_pix, n * h)
+        grid = jnp.zeros((n * h + 1, 7), jnp.float32).at[gdest].set(
+            wp, unique_indices=True)[: n * h]
+        rng_img = jnp.where(grid[:, 0] > 0, grid[:, 0], _INVALID_RANGE)
+        img = RangeImage(
+            rng=rng_img.reshape(n, h),
+            xyz=grid[:, 1:4].reshape(n, h, 3),
+            intensity=grid[:, 4].reshape(n, h),
+            time=grid[:, 5].reshape(n, h),
+            mask=(grid[:, 0] > 0).reshape(n, h),
+        )
 
     # per-row compaction: slot within row = global winner index - row start
     win_row = jnp.where(wvalid, win_pix // h, n)

@@ -130,7 +130,8 @@ def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
     else:
         pts = pre.points[:, :3]
     _img, ext = projection.project_and_extract(
-        pts, pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg.sensor
+        pts, pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg.sensor,
+        want_image=False,
     )
     return feat_ops.extract_features(ext, cfg.feature)
 
