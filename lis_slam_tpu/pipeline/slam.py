@@ -35,7 +35,7 @@ from ..graph import pose_graph
 from ..loop import epsc
 from ..mapping import submap as sm
 from ..ops import icp as icp_ops
-from ..ops import knn, voxel
+from ..ops import knn, scan_match, voxel
 from ..semantic import fusion
 from ..utils import se3
 from . import odometry, trajectory
@@ -204,6 +204,49 @@ class SemanticSlam:
             )
 
     # ------------------------------------------------------------------
+    def _register_submaps(self, prev: sm.SubMap, cur: sm.SubMap) -> np.ndarray:
+        """Submap-to-submap LOAM registration (extractSubMapCloud +
+        subMap2SubMapOptimization, subMapOptmizationNode.cpp:3976-4081,
+        4485-4540): refine the relative transform between consecutive
+        submaps inside their bbox intersection (<=30 iterations). Returns
+        the refined measurement z = T_prev^-1 @ T_cur_refined."""
+        cfg = self.cfg
+        # bbox intersection crop (reference crops both clouds)
+        if prev.bbox is None or cur.bbox is None:
+            return np.linalg.inv(prev.pose_init) @ cur.pose_init
+        lo = np.maximum(prev.bbox[0], cur.bbox[0]) - 2.0
+        hi = np.minimum(prev.bbox[1], cur.bbox[1]) + 2.0
+        if np.any(lo >= hi):
+            return np.linalg.inv(prev.pose_init) @ cur.pose_init
+        lo_j, hi_j = jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
+        pc_mask = sm.bbox_mask(prev.corner_xyz, prev.corner_mask, lo_j, hi_j)
+        ps_mask = sm.bbox_mask(prev.surf_xyz, prev.surf_mask, lo_j, hi_j)
+        cc_mask = sm.bbox_mask(cur.corner_xyz, cur.corner_mask, lo_j, hi_j)
+        cs_mask = sm.bbox_mask(cur.surf_xyz, cur.surf_mask, lo_j, hi_j)
+
+        ch = knn.build_hash(prev.corner_xyz, pc_mask, cell_size=1.0,
+                            table_size=1 << 13)
+        sh = knn.build_hash(prev.surf_xyz, ps_mask, cell_size=1.0,
+                            table_size=1 << 14)
+        # express current submap's points in its own frame; optimize its pose
+        T_cur = jnp.asarray(cur.pose_init.astype(np.float32))
+        Ti = se3.transform_inverse(T_cur)
+        cur_c_local = se3.transform_points(Ti, cur.corner_xyz)
+        cur_s_local = se3.transform_points(Ti, cur.surf_xyz)
+        pose0 = se3.matrix_to_pose(T_cur)
+        gn = scan_match.scan_to_map(
+            pose0, cur_c_local, cc_mask, cur_s_local, cs_mask,
+            prev.corner_xyz, ch, prev.surf_xyz, sh,
+            cfg.matching, cfg.matching.max_iterations_submap2submap,
+        )
+        refined = np.asarray(se3.pose_to_matrix(gn.pose))
+        # sanity: reject refinements that jump too far from the odometry
+        delta = np.linalg.inv(cur.pose_init) @ refined
+        if np.linalg.norm(delta[:3, 3]) > 2.0:
+            refined = cur.pose_init
+        return np.linalg.inv(prev.pose_init) @ refined
+
+    # ------------------------------------------------------------------
     def _on_submap(self, finished: sm.SubMap):
         """addOdomFactor per new submap + any pending loop factors +
         optimize + correctPoses."""
@@ -212,7 +255,7 @@ class SemanticSlam:
         assert idx == finished.index
         if idx > 0:
             prev = self.collector.submaps[idx - 1]
-            z = np.linalg.inv(prev.pose_init) @ finished.pose_init
+            z = self._register_submaps(prev, finished)
             gb.add_odom_edge(idx - 1, idx, z)
         # loop factors whose submaps both exist now
         new_loops = []
