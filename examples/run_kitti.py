@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Replay a KITTI odometry sequence through the full SLAM pipeline.
+
+Equivalent of the reference's `roslaunch lis_slam run.launch` + `rosbag play`
+(README.md section 5): the native C++ loader prefetches .bin scans while the
+TPU runs the per-scan step; trajectory is exported in KITTI format and
+evaluated against ground truth when available.
+
+Usage:
+    python examples/run_kitti.py --root /data/kitti --sequence 05 \
+        --out 05_pred.txt [--preset kitti] [--max-scans N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from lis_slam_tpu.config import PRESETS
+from lis_slam_tpu.io import kitti
+from lis_slam_tpu.pipeline import driver, slam, trajectory
+from lis_slam_tpu.runtime import native
+from lis_slam_tpu.utils.profiling import StageTimer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--sequence", default="05")
+    ap.add_argument("--out", default="pred.txt")
+    ap.add_argument("--preset", default="kitti", choices=sorted(PRESETS))
+    ap.add_argument("--max-scans", type=int, default=0)
+    ap.add_argument("--save-map", default="")
+    args = ap.parse_args()
+
+    cfg = PRESETS[args.preset]()
+    seq = kitti.KittiSequence(args.root, args.sequence)
+    n = len(seq) if not args.max_scans else min(args.max_scans, len(seq))
+    print(f"sequence {args.sequence}: {n} scans, native loader: "
+          f"{native.available()}")
+
+    files = [os.path.join(seq.velo_dir, seq.files[i]) for i in range(n)]
+    loader = native.AsyncScanLoader(
+        files, max_points=cfg.sensor.max_raw_points,
+        capacity=cfg.runtime.queue_capacity,
+        n_threads=cfg.runtime.num_host_threads,
+        min_range=cfg.sensor.lidar_min_range,
+        max_range=cfg.sensor.lidar_max_range,
+    )
+
+    system = slam.SemanticSlam(cfg)
+    timer = StageTimer(log_every=100)
+    for i, (buf, count) in enumerate(loader):
+        with timer.stage("scan"):
+            sin = driver.pad_scan(buf[:count], cfg)
+            system.process_scan(sin)
+        if i + 1 == n:
+            break
+    loader.close()
+
+    res = system.finish(build_map=bool(args.save_map))
+    trajectory.write_kitti(args.out, res.poses)
+    print(f"wrote {args.out}: {len(res.poses)} poses, "
+          f"{res.n_submaps} submaps, {res.n_loops} loop factors")
+    print(timer.summary())
+
+    if args.save_map and res.global_map is not None:
+        kitti.write_pcd(args.save_map, res.global_map[:, :3],
+                        res.global_map[:, 3])
+        print(f"wrote {args.save_map}: {len(res.global_map)} points")
+
+    gt = seq.ground_truth()
+    if gt is not None:
+        import jax.numpy as jnp
+
+        from lis_slam_tpu.utils import se3
+
+        gt6 = np.asarray(se3.matrix_to_pose(jnp.asarray(gt[:n], jnp.float32)))
+        gt_rel = trajectory.relative_to_first(gt6)
+        ate = trajectory.ate_rmse(res.poses, gt_rel, align=True)
+        rpe_t, rpe_r = trajectory.rpe(res.poses, gt_rel)
+        print(f"ATE {ate:.3f} m | RPE {rpe_t:.3f} m / {rpe_r:.3f} deg per frame")
+
+
+if __name__ == "__main__":
+    main()

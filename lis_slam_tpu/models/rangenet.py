@@ -146,6 +146,7 @@ def create_model(cfg: SemanticConfig):
 def init_params(key, cfg: SemanticConfig, input_w: int | None = None):
     model = create_model(cfg)
     w = input_w or cfg.model_input_w
+    w = ((w + 31) // 32) * 32  # OS-32 encoder needs width % 32 == 0
     dummy = jnp.zeros((1, cfg.model_input_h, w, cfg.model_input_c))
     variables = model.init(key, dummy, train=False)
     return model, variables

@@ -38,9 +38,19 @@ class SemanticImage(NamedTuple):
 
 def infer_labels(model, variables, rng_img, xyz_img, intensity_img, mask,
                  cfg: SemanticConfig) -> SemanticImage:
-    """Run the net on the projected scan and derive label/weight images."""
+    """Run the net on the projected scan and derive label/weight images.
+
+    The OS-32 encoder needs the width divisible by 32 (RangeNet++ trains at
+    2048); arbitrary scan widths (e.g. 1800) are zero-padded and cropped.
+    """
     img = rangenet.build_input_image(rng_img, xyz_img, intensity_img, mask, cfg)
+    w = img.shape[1]
+    pad = (-w) % 32
+    if pad:
+        img = jnp.pad(img, ((0, 0), (0, pad), (0, 0)))
     logits = model.apply(variables, img[None], train=False)[0]
+    if pad:
+        logits = logits[:, :w]
     probs = jnp.asarray(logits, jnp.float32)
     lab = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     pmax = jnp.max(jnp.asarray(jnp.exp(probs - jnp.max(probs, -1, keepdims=True)) /
