@@ -153,18 +153,16 @@ def _select_row_features_vectorized(curv, picked, col, count, cfg: FeatureConfig
     ssurf_ok = (stop_v > -_BIG).reshape(n, ns, -1)
     ssurf_idx = stop_i.reshape(n, ns, -1)
 
-    # single scatter for the corner flag array (needed for the surf cloud)
-    rows = jax.lax.broadcasted_iota(jnp.int32, corner_idx.shape, 0)
-    flat = jnp.where(corner_ok, rows * h + corner_idx, n * h).reshape(-1)
-    corner_flag = (
-        jnp.zeros(n * h + 1, bool).at[flat].set(True)[: n * h].reshape(n, h)
-    )
     sharp_corner = (
         corner_idx[:, :, : cfg.max_sharp_corners_per_sector],
         corner_ok[:, :, : cfg.max_sharp_corners_per_sector],
     )
     in_any = (idx >= 5) & (idx <= count[:, None] - 6)
-    surf_flag = in_any & ~corner_flag  # cloudLabel <= 0: everything non-corner
+    # surf cloud = everything that is not an edge CANDIDATE (c_local is a
+    # superset of the picked corners; excluding all unambiguous edge local
+    # maxima instead of just the per-sector top-N avoids a full-grid flag
+    # scatter and only drops genuinely edge-like points from the surf set)
+    surf_flag = in_any & ~c_local  # cloudLabel <= 0: everything non-corner
     return (
         (corner_idx, corner_ok),
         sharp_corner,
