@@ -125,9 +125,11 @@ class MatchingConfig:
     degeneracy_eigen_threshold: float = 100.0
     converge_delta_r_deg: float = 0.005
     converge_delta_t_cm: float = 0.05
-    # map buffer capacities (multi-frame target, voxel-downsampled)
-    corner_map_capacity: int = 32768
-    surf_map_capacity: int = 131072
+    # map buffer capacities (multi-frame target, voxel-downsampled).
+    # Sized ~2x the occupancy observed on dense urban synthetic replay
+    # (surf ~29k, corner ~3k voxels over the 20-keyframe window).
+    corner_map_capacity: int = 16384
+    surf_map_capacity: int = 65536
     # voxel-hash NN parameters
     hash_table_slots: int = 1 << 15
     hash_bucket_size: int = 16
