@@ -63,9 +63,16 @@ class KittiSequence:
     def __post_init__(self):
         self.seq_dir = os.path.join(self.root, "sequences", self.sequence)
         self.velo_dir = os.path.join(self.seq_dir, "velodyne")
+        if not os.path.isdir(self.velo_dir):
+            raise FileNotFoundError(
+                f"KITTI sequence not found: {self.velo_dir} "
+                f"(expected <root>/sequences/<seq>/velodyne/*.bin)"
+            )
         self.files = sorted(
             f for f in os.listdir(self.velo_dir) if f.endswith(".bin")
-        ) if os.path.isdir(self.velo_dir) else []
+        )
+        if not self.files:
+            raise FileNotFoundError(f"no .bin scans in {self.velo_dir}")
         times_path = os.path.join(self.seq_dir, "times.txt")
         self.times = (
             np.loadtxt(times_path) if os.path.exists(times_path) else

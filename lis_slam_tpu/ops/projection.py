@@ -131,30 +131,28 @@ def project_and_extract(
     rq = jnp.clip(rng * (16383.0 / max(cfg.lidar_max_range, 1e-3)),
                   0, 16382).astype(jnp.int32)
     key = jnp.where(ok, pix * 16384 + rq, jnp.int32(2**31 - 1))
-    order = jnp.argsort(key)
-    ks = key[order]
+
+    # payload rides INSIDE the sorting network (multi-operand lax.sort) —
+    # a separate argsort+gather costs an extra ~3 ms of random access
+    cols_payload = (
+        rng, points[:, 0], points[:, 1], points[:, 2], intensity, rel_time,
+        (pix % h).astype(jnp.float32),
+    )
+    sorted1 = jax.lax.sort((key,) + cols_payload, num_keys=1)
+    ks = sorted1[0]
     kpix = ks // 16384
     first = jnp.concatenate([jnp.ones(1, bool), kpix[1:] != kpix[:-1]])
     first = first & (ks != 2**31 - 1)
 
-    # compact winners to the front, preserving pixel order
+    # compact winners to the front, preserving pixel order (second sort)
     ridx = jnp.arange(p_cap, dtype=jnp.int32)
     rank = jnp.where(first, ridx, jnp.int32(p_cap) + ridx)
-    order2 = jnp.argsort(rank)
-    sel = order[order2]  # original indices, winners first in pixel order
-    win_pix = kpix[order2]  # winner pixel ids (ascending), garbage after cnt
+    sorted2 = jax.lax.sort((rank, kpix) + sorted1[1:], num_keys=1)
+    win_pix = sorted2[1]
     cnt = jnp.sum(first.astype(jnp.int32))
     wslot = jnp.arange(p_cap)
     wvalid = wslot < cnt
-
-    payload = jnp.concatenate(
-        [
-            rng[:, None], points, intensity[:, None], rel_time[:, None],
-            (pix % h).astype(jnp.float32)[:, None],
-        ],
-        axis=1,
-    )  # (P, 7): range, xyz, intensity, time, col
-    wp = payload[sel]
+    wp = jnp.stack(sorted2[2:], axis=1)  # (P, 7)
     wp = jnp.where(wvalid[:, None], wp, 0.0)
 
     # grid image: one unique-index scatter (skippable — the LOAM front end
