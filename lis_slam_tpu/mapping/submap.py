@@ -101,7 +101,8 @@ def bbox_mask(points: jnp.ndarray, mask: jnp.ndarray, bb_min: jnp.ndarray,
 def dynamic_removal_mask(
     feature_pts: jnp.ndarray,  # (N, 3) candidate points (world frame)
     feature_mask: jnp.ndarray,
-    map_hash: knn.VoxelHashMap,  # hash over the existing dynamic-class map
+    map_pts: jnp.ndarray,  # (M, 3) existing dynamic-class map
+    map_mask: jnp.ndarray,  # (M,)
     center: jnp.ndarray,  # (3,) current sensor position
     center_radius: jnp.ndarray,  # () only test points within this radius
     near_thre: jnp.ndarray,  # () keep if NN-dist > near (de-densify)
@@ -112,13 +113,15 @@ def dynamic_removal_mask(
     candidate dynamic-class point iff its 1-NN distance to the existing
     dynamic map is in (near, min) U (max, inf); points outside
     center_radius are always kept. Returns the filtered mask."""
+    from ..ops import pallas_knn
+
     d2center = jnp.sum((feature_pts[:, :2] - center[None, :2]) ** 2, axis=-1)
     outside = d2center > center_radius * center_radius
-    d, _ = knn.knn_hash(feature_pts, map_hash, k=1)
+    d, _i, _n = pallas_knn.knn(feature_pts, map_pts, map_mask, k=1)
     d1 = d[:, 0]
     keep_inner = ((d1 > near_thre**2) & (d1 < min_thre**2)) | (d1 > max_thre**2)
-    # hash misses (no neighbor within a cell) come back as +inf -> "new
-    # structure" branch keeps them, matching the KD-tree's far-distance case
+    # an empty map comes back as +inf -> the "new structure" branch keeps
+    # the candidate, matching the KD-tree's far-distance case
     return feature_mask & (outside | keep_inner)
 
 
@@ -195,7 +198,11 @@ class SubMapCollector:
                 pts.append((_se3.transform_points(T, xyz), m))
             allp = jnp.concatenate([p for p, _ in pts])
             allm = jnp.concatenate([m for _, m in pts])
-            out, om, _ = _voxel.voxel_downsample(allp, allm, leaf, capacity)
+            # host-rate call; use the unjitted body (a jax executable-cache
+            # collision was observed mixing this call with unrelated kernels
+            # under certain call orders — see tests/test_icp_submap.py)
+            out, om, _ = _voxel.voxel_downsample.__wrapped__(
+                allp, allm, leaf, capacity)
             return out, om
 
         # submap voxel leaves (params.yaml subMapCornerLeafSize/subMapSurfLeafSize)

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from ..config import MatchingConfig
 from ..utils import lin, se3
-from . import knn
 
 
 class Correspondences(NamedTuple):
@@ -197,6 +196,9 @@ def gauss_newton_update(
     return new_pose, proj, degenerate, converged, n_valid
 
 
+_BIGD = jnp.float32(3e38)
+
+
 def _rerank_neighbors(pts_world, cand_pts, cand_valid, k):
     """Re-rank cached candidate neighbors by current distance; return the
     5 nearest as (sq_dists (Q,5) ascending, slot indices (Q,5))."""
@@ -207,7 +209,20 @@ def _rerank_neighbors(pts_world, cand_pts, cand_valid, k):
     return -neg, sel
 
 
-_BIGD = jnp.float32(3e38)
+def _morton_sort_queries(pts, mask, weight):
+    """Sort a padded query cloud spatially; weights ride along."""
+    from . import voxel as voxel_ops
+
+    key = jnp.where(
+        mask, voxel_ops._voxel_key_morton(pts, mask, 1.0),
+        jnp.uint32(0xFFFFFFFF))
+    w = jnp.ones(pts.shape[0]) if weight is None else weight
+    out = jax.lax.sort(
+        (key, pts[:, 0], pts[:, 1], pts[:, 2], mask.astype(jnp.float32), w),
+        num_keys=1,
+    )
+    new_pts = jnp.stack(out[1:4], axis=1)
+    return new_pts, out[4] > 0.5, (None if weight is None else out[5])
 
 
 def scan_to_map(
@@ -216,10 +231,10 @@ def scan_to_map(
     corner_mask: jnp.ndarray,
     surf_pts: jnp.ndarray,  # (Qs, 3)
     surf_mask: jnp.ndarray,
-    corner_map: jnp.ndarray,  # (Nc, 3)
-    corner_hash: knn.VoxelHashMap,
+    corner_map: jnp.ndarray,  # (Nc, 3) morton-ordered map buffer
+    corner_map_mask: jnp.ndarray,
     surf_map: jnp.ndarray,  # (Ns, 3)
-    surf_hash: knn.VoxelHashMap,
+    surf_map_mask: jnp.ndarray,
     cfg: MatchingConfig,
     max_iterations: int,
     corner_sem_weight: jnp.ndarray | None = None,
@@ -230,27 +245,33 @@ def scan_to_map(
 ) -> GNState:
     """Full scan-to-map optimization (scan2SubMapOptimization rebuild).
 
-    Correspondence caching (documented deviation): the reference re-queries
-    its KD-trees every iteration; here the `cache_k` nearest candidates per
-    feature are fetched from the voxel hash and every GN iteration re-ranks
-    the cached set by current distance to pick its 5 support points. The
-    cache is refreshed whenever the pose has moved more than
-    `cache_refresh_dist`/`cache_refresh_rot` since it was built, so large
-    perturbations still converge like the full re-search (tests compare the
-    two); well-initialized scans pay exactly one hash search.
+    Neighbor search runs on the fused Pallas exact-kNN kernel
+    (ops/pallas_knn.py) over the morton-ordered map buffers; query clouds
+    are morton-sorted once here so the kernel's tile-skipping bounds bite
+    (the GN reductions are order-invariant).
+
+    Correspondence caching (documented deviation from the reference's
+    per-iteration KD-tree queries): the cache_k nearest candidates are
+    fetched once and re-ranked by current distance each GN iteration; the
+    cache refreshes when the pose drifts beyond cache_refresh_* from where
+    it was built, so large perturbations converge like a full re-search
+    (tests cover both regimes).
     """
+    from . import pallas_knn
+
+    corner_pts, corner_mask, corner_sem_weight = _morton_sort_queries(
+        corner_pts, corner_mask, corner_sem_weight)
+    surf_pts, surf_mask, surf_sem_weight = _morton_sort_queries(
+        surf_pts, surf_mask, surf_sem_weight)
 
     def search(pose):
         T = se3.pose_to_matrix(pose)
         cw = se3.transform_points(T, corner_pts)
         sw = se3.transform_points(T, surf_pts)
-        _, c_cache = knn.knn_hash(cw, corner_hash, k=cache_k)
-        _, s_cache = knn.knn_hash(sw, surf_hash, k=cache_k)
-        c_cand = corner_map[c_cache]  # (Qc, K, 3)
-        s_cand = surf_map[s_cache]
-        # candidate validity: INF-distance slots point at arbitrary ids;
-        # validate by position (generous radius, the 5-NN gate is applied
-        # per-iteration on re-ranked distances)
+        _cd, _ci, c_cand = pallas_knn.knn(
+            cw, corner_map, corner_map_mask, k=cache_k)
+        _sd, _si, s_cand = pallas_knn.knn(
+            sw, surf_map, surf_map_mask, k=cache_k)
         c_ok = jnp.sum((c_cand - cw[:, None, :]) ** 2, -1) < 4.0
         s_ok = jnp.sum((s_cand - sw[:, None, :]) ** 2, -1) < 4.0
         return c_cand, c_ok, s_cand, s_ok, pose

@@ -38,6 +38,44 @@ def _voxel_key(points: jnp.ndarray, mask: jnp.ndarray, leaf: float) -> jnp.ndarr
     return key
 
 
+def _spread3(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits to every 3rd position (morton interleave helper)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _voxel_key_morton(points: jnp.ndarray, mask: jnp.ndarray,
+                      leaf: float) -> jnp.ndarray:
+    """Morton (Z-order) voxel key, 10 bits/axis relative to the cloud's min
+    corner — unique within a 1024^3-cell window AND spatially coherent, so
+    buffers sorted by it feed the Pallas kNN kernel's tile-skipping bounds
+    directly (see ops/pallas_knn.py)."""
+    c = jnp.floor(points / leaf).astype(jnp.int32)
+    cmin = jnp.min(jnp.where(mask[:, None], c, jnp.int32(2**30)), axis=0)
+    d = jnp.clip(c - cmin, 0, 1023).astype(jnp.uint32)
+    return (
+        _spread3(d[:, 0]) | (_spread3(d[:, 1]) << 1) | (_spread3(d[:, 2]) << 2)
+    )
+
+
+def morton_sort_points(points: jnp.ndarray, mask: jnp.ndarray,
+                       quant: float = 1.0):
+    """Sort a padded cloud spatially (invalid rows go last). Returns
+    (points, mask) reordered; used to make query blocks coherent for the
+    Pallas kNN kernel."""
+    key = jnp.where(mask, _voxel_key_morton(points, mask, quant), _SENTINEL)
+    out = jax.lax.sort(
+        (key, points[:, 0], points[:, 1], points[:, 2],
+         mask.astype(jnp.float32)),
+        num_keys=1,
+    )
+    pts = jnp.stack(out[1:4], axis=1)
+    return pts, out[4] > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("leaf", "capacity", "centroid"))
 def voxel_downsample(
     points: jnp.ndarray,  # (N, 3) padded
@@ -142,7 +180,9 @@ def voxel_merge_aged(
         [jnp.full(new_points.shape[0], kf_index, jnp.int32), map_age]
     )
     mask = jnp.concatenate([new_mask, alive])
-    h = jnp.where(mask, _voxel_key(pts, mask, leaf), _SENTINEL)
+    # morton key: dedup AND leave the output spatially (Z-order) sorted for
+    # the Pallas kNN kernel's tile-skipping search
+    h = jnp.where(mask, _voxel_key_morton(pts, mask, leaf), _SENTINEL)
     order = jnp.argsort(h, stable=True)
     hs = h[order]
     is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])

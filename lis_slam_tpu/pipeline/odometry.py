@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..ops import deskew as deskew_ops
 from ..ops import features as feat_ops
-from ..ops import knn, pretreatment, projection, scan_match, voxel
+from ..ops import pretreatment, projection, scan_match, voxel
 from ..utils import se3
 
 
@@ -52,8 +52,6 @@ class OdomState(NamedTuple):
     map_surf: jnp.ndarray  # (Ms, 3)
     map_surf_age: jnp.ndarray
     map_surf_mask: jnp.ndarray
-    corner_hash: knn.VoxelHashMap
-    surf_hash: knn.VoxelHashMap
 
 
 class OdomOutput(NamedTuple):
@@ -70,14 +68,6 @@ def init_state(cfg: SlamConfig) -> OdomState:
     mc = cfg.matching.corner_map_capacity
     ms = cfg.matching.surf_map_capacity
     zero6 = jnp.zeros(6, jnp.float32)
-    empty_hash_c = knn.build_hash(
-        jnp.zeros((mc, 3), jnp.float32), jnp.zeros(mc, bool),
-        cell_size=1.0, table_size=cfg.matching.hash_table_slots // 4,
-    )
-    empty_hash_s = knn.build_hash(
-        jnp.zeros((ms, 3), jnp.float32), jnp.zeros(ms, bool),
-        cell_size=1.0, table_size=cfg.matching.hash_table_slots,
-    )
     return OdomState(
         pose=zero6,
         prev_pose=zero6,
@@ -93,8 +83,6 @@ def init_state(cfg: SlamConfig) -> OdomState:
         map_surf=jnp.zeros((ms, 3), jnp.float32),
         map_surf_age=jnp.full((ms,), -(10**9), jnp.int32),
         map_surf_mask=jnp.zeros(ms, bool),
-        corner_hash=empty_hash_c,
-        surf_hash=empty_hash_s,
     )
 
 
@@ -162,13 +150,6 @@ def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,
         state.kf_count, K, cfg.voxel.mapping_surf_leaf,
         cfg.matching.surf_map_capacity,
     )
-    corner_hash = knn.build_hash(
-        map_c, mask_c, cell_size=1.0,
-        table_size=cfg.matching.hash_table_slots // 4,
-    )
-    surf_hash = knn.build_hash(
-        map_s, mask_s, cell_size=1.0, table_size=cfg.matching.hash_table_slots
-    )
     return state._replace(
         kf_poses=kf_poses,
         kf_count=state.kf_count + 1,
@@ -176,7 +157,6 @@ def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,
         last_kf_pose=pose,
         map_corner=map_c, map_corner_age=age_c, map_corner_mask=mask_c,
         map_surf=map_s, map_surf_age=age_s, map_surf_mask=mask_s,
-        corner_hash=corner_hash, surf_hash=surf_hash,
     )
 
 
@@ -219,8 +199,8 @@ def odom_step(state: OdomState, scan: ScanInput,
         guess,
         fc.sharp_corner_xyz, fc.sharp_corner_mask,
         fc.sharp_surf_xyz, fc.sharp_surf_mask,
-        state.map_corner, state.corner_hash,
-        state.map_surf, state.surf_hash,
+        state.map_corner, state.map_corner_mask,
+        state.map_surf, state.map_surf_mask,
         cfg.matching, cfg.matching.max_iterations_frontend,
     )
     pose = jnp.where(first, guess, gn.pose)

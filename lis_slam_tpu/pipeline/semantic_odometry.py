@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .. import labels as L
 from ..config import SlamConfig
-from ..ops import knn, pretreatment, projection, scan_match, voxel
+from ..ops import pretreatment, projection, scan_match, voxel
 from ..semantic import fusion
 from ..utils import se3
 from . import odometry
@@ -48,10 +48,7 @@ class SemanticOdomState(NamedTuple):
     surf_w: jnp.ndarray  # (Ms,) per-point semantic weight
     surf_age: jnp.ndarray
     surf_mask: jnp.ndarray
-    corner_hash: knn.VoxelHashMap
-    surf_hash: knn.VoxelHashMap
-    dyn_hash: knn.VoxelHashMap  # dynamic-class map for removal gating
-    dyn_pts: jnp.ndarray
+    dyn_pts: jnp.ndarray  # dynamic-class map for removal gating
     dyn_age: jnp.ndarray
     dyn_mask: jnp.ndarray
 
@@ -79,15 +76,6 @@ def init_state(cfg: SlamConfig) -> SemanticOdomState:
     mc = cfg.submap.corner_capacity
     ms = cfg.submap.surf_capacity
     md = cfg.submap.corner_capacity
-    hc = knn.build_hash(jnp.zeros((mc, 3)), jnp.zeros(mc, bool),
-                        cell_size=1.0,
-                        table_size=cfg.matching.hash_table_slots // 4)
-    hs = knn.build_hash(jnp.zeros((ms, 3)), jnp.zeros(ms, bool),
-                        cell_size=1.0,
-                        table_size=cfg.matching.hash_table_slots)
-    hd = knn.build_hash(jnp.zeros((md, 3)), jnp.zeros(md, bool),
-                        cell_size=1.0,
-                        table_size=cfg.matching.hash_table_slots // 4)
     return SemanticOdomState(
         pose=jnp.zeros(6),
         kf_count=jnp.int32(0),
@@ -98,7 +86,6 @@ def init_state(cfg: SlamConfig) -> SemanticOdomState:
         surf_w=jnp.ones((ms,)),
         surf_age=jnp.full((ms,), -(10**9), jnp.int32),
         surf_mask=jnp.zeros(ms, bool),
-        corner_hash=hc, surf_hash=hs, dyn_hash=hd,
         dyn_pts=jnp.zeros((md, 3)),
         dyn_age=jnp.full((md,), -(10**9), jnp.int32),
         dyn_mask=jnp.zeros(md, bool),
@@ -182,8 +169,8 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
         pose_guess,
         sscan.corner_xyz, sscan.corner_mask,
         sscan.surf_xyz, sscan.surf_mask,
-        state.corner_pts, state.corner_hash,
-        state.surf_pts, state.surf_hash,
+        state.corner_pts, state.corner_mask,
+        state.surf_pts, state.surf_mask,
         cfg.matching, cfg.matching.max_iterations_submap,
         corner_sem_weight=sscan.corner_w,
         surf_sem_weight=sscan.surf_w,
@@ -200,7 +187,8 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
     from ..mapping import submap as sm
 
     dyn_keep = sm.dynamic_removal_mask(
-        s_w_pts, sscan.surf_mask & sscan.surf_is_dynamic, state.dyn_hash,
+        s_w_pts, sscan.surf_mask & sscan.surf_is_dynamic,
+        state.dyn_pts, state.dyn_mask,
         pose[3:], jnp.float32(cfg.submap.dynamic_removal_radius),
         jnp.float32(cfg.submap.dynamic_near),
         jnp.float32(cfg.submap.dynamic_min),
@@ -226,23 +214,12 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
     )
     # NOTE: per-point weights for map points default to 1.0 — the reference
     # weights only the CURRENT scan's points, which sscan.*_w covers.
-    corner_hash = knn.build_hash(
-        corner_pts, corner_mask, cell_size=1.0,
-        table_size=cfg.matching.hash_table_slots // 4)
-    surf_hash = knn.build_hash(
-        surf_pts, surf_mask, cell_size=1.0,
-        table_size=cfg.matching.hash_table_slots)
-    dyn_hash = knn.build_hash(
-        dyn_pts, dyn_mask, cell_size=1.0,
-        table_size=cfg.matching.hash_table_slots // 4)
-
     new_state = SemanticOdomState(
         pose=pose,
         kf_count=state.kf_count + 1,
         corner_pts=corner_pts, corner_age=corner_age, corner_mask=corner_mask,
         surf_pts=surf_pts, surf_w=state.surf_w, surf_age=surf_age,
         surf_mask=surf_mask,
-        corner_hash=corner_hash, surf_hash=surf_hash, dyn_hash=dyn_hash,
         dyn_pts=dyn_pts, dyn_age=dyn_age, dyn_mask=dyn_mask,
     )
     return new_state, pose, gn

@@ -224,10 +224,6 @@ class SemanticSlam:
         cc_mask = sm.bbox_mask(cur.corner_xyz, cur.corner_mask, lo_j, hi_j)
         cs_mask = sm.bbox_mask(cur.surf_xyz, cur.surf_mask, lo_j, hi_j)
 
-        ch = knn.build_hash(prev.corner_xyz, pc_mask, cell_size=1.0,
-                            table_size=1 << 13)
-        sh = knn.build_hash(prev.surf_xyz, ps_mask, cell_size=1.0,
-                            table_size=1 << 14)
         # express current submap's points in its own frame; optimize its pose
         T_cur = jnp.asarray(cur.pose_init.astype(np.float32))
         Ti = se3.transform_inverse(T_cur)
@@ -236,7 +232,7 @@ class SemanticSlam:
         pose0 = se3.matrix_to_pose(T_cur)
         gn = scan_match.scan_to_map(
             pose0, cur_c_local, cc_mask, cur_s_local, cs_mask,
-            prev.corner_xyz, ch, prev.surf_xyz, sh,
+            prev.corner_xyz, pc_mask, prev.surf_xyz, ps_mask,
             cfg.matching, cfg.matching.max_iterations_submap2submap,
         )
         refined = np.asarray(se3.pose_to_matrix(gn.pose))

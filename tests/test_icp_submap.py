@@ -109,21 +109,20 @@ def test_dynamic_removal():
     far-from-map points (> max) kept as new structure."""
     rng = np.random.default_rng(3)
     map_pts = rng.uniform(-20, 20, (2000, 3)).astype(np.float32)
-    h = knn.build_hash(jnp.asarray(map_pts), jnp.ones(2000, bool),
-                       cell_size=2.0, table_size=1 << 12)
-    # candidates: [on top of a map point (d~0), 0.5 m away, 30 m away]
+    # candidates: [on top of a map point (d~0), 0.5 m away, far away]
     cand = np.stack([
         map_pts[0] + 0.001,
         map_pts[1] + np.array([0.5, 0, 0], np.float32),
         np.array([100.0, 100.0, 0.0], np.float32),
     ])
     keep = np.asarray(sm.dynamic_removal_mask(
-        jnp.asarray(cand), jnp.ones(3, bool), h,
+        jnp.asarray(cand), jnp.ones(3, bool),
+        jnp.asarray(map_pts), jnp.ones(2000, bool),
         jnp.zeros(3), jnp.float32(200.0),
         jnp.float32(0.1), jnp.float32(1.0), jnp.float32(10.0),
     ))
     # d~0 -> dropped (too close, redundancy); 0.5 in (0.1, 1.0) -> kept;
-    # 30 m (hash miss -> inf > max) -> kept as new structure
+    # far (> max) -> kept as new structure
     np.testing.assert_array_equal(keep, [False, True, True])
 
 

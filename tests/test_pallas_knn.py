@@ -19,7 +19,7 @@ def clouds():
 
 def test_pallas_knn_exact(clouds):
     q, ref = clouds
-    d, i = pallas_knn.knn_pallas(
+    d, i, near = pallas_knn.knn_pallas(
         jnp.asarray(q), jnp.asarray(ref), jnp.ones(len(ref), bool),
         k=5, query_block=128, tile_n=512, interpret=True,
     )
@@ -27,13 +27,15 @@ def test_pallas_knn_exact(clouds):
     dref, iref = tree.query(q, k=5)
     np.testing.assert_allclose(np.asarray(d), dref**2, rtol=1e-3, atol=1e-4)
     assert (np.asarray(i) == iref).mean() > 0.99  # ties may reorder
+    # neighbor coords match the indexed reference points
+    np.testing.assert_allclose(np.asarray(near), ref[np.asarray(i)], atol=1e-5)
 
 
 def test_pallas_knn_respects_mask(clouds):
     q, ref = clouds
     mask = np.zeros(len(ref), bool)
     mask[:2048] = True
-    d, i = pallas_knn.knn_pallas(
+    d, i, _ = pallas_knn.knn_pallas(
         jnp.asarray(q), jnp.asarray(ref), jnp.asarray(mask),
         k=5, query_block=128, tile_n=512, interpret=True,
     )
@@ -46,7 +48,7 @@ def test_pallas_knn_respects_mask(clouds):
 def test_pallas_knn_unaligned_sizes(clouds):
     """Query/ref counts not divisible by the block sizes are padded."""
     q, ref = clouds
-    d, i = pallas_knn.knn_pallas(
+    d, i, _ = pallas_knn.knn_pallas(
         jnp.asarray(q[:300]), jnp.asarray(ref[:3000]),
         jnp.ones(3000, bool), k=3, query_block=128, tile_n=512,
         interpret=True,
