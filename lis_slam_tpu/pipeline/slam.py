@@ -80,6 +80,14 @@ class SemanticSlam:
         self._preprocess = jax.jit(
             lambda s: odometry.preprocess(s, cfg), static_argnums=()
         )
+        # back-end semantic submap odometry (stage 1 refinement); engaged
+        # whenever per-point labels are available
+        from . import semantic_odometry as semo
+
+        self._semo = semo
+        self.sem_state = semo.init_state(cfg)
+        self._last_refined: np.ndarray | None = None
+        self._last_frontend: np.ndarray | None = None
 
     # ------------------------------------------------------------------
     def process_scan(self, scan: odometry.ScanInput,
@@ -97,6 +105,36 @@ class SemanticSlam:
     def _on_keyframe(self, scan, pose6, gt_labels):
         cfg = self.cfg
         fc = self._preprocess(scan)
+
+        # --- stage-1 back-end refinement (SubMapOdometryNode): semantic-
+        # weighted re-registration against the sliding semantic local map,
+        # seeded by the front-end pose ---
+        if gt_labels is not None:
+            lab_raw = np.zeros(cfg.sensor.max_raw_points, np.int32)
+            nval = int(np.asarray(scan.valid).sum())
+            lab_arr = np.asarray(gt_labels)[:nval]
+            lab_raw[: len(lab_arr)] = lab_arr
+            sscan = self._semo.build_semantic_scan(
+                scan, jnp.asarray(lab_raw), cfg)
+            # seed: carry the front-end's increment on top of the refined
+            # trajectory (the reference seeds from its own odometry stream)
+            guess = pose6
+            if self._last_refined is not None and self._last_frontend is not None:
+                T_inc = (
+                    np.asarray(se3.pose_to_matrix(jnp.asarray(pose6)))
+                    @ np.linalg.inv(np.asarray(
+                        se3.pose_to_matrix(jnp.asarray(self._last_frontend))))
+                )
+                T_seed = T_inc @ np.asarray(
+                    se3.pose_to_matrix(jnp.asarray(self._last_refined)))
+                guess = np.asarray(se3.matrix_to_pose(
+                    jnp.asarray(T_seed, dtype=jnp.float32)))
+            self.sem_state, refined, _gn = self._semo.refine_step(
+                self.sem_state, sscan, jnp.asarray(guess, jnp.float32), cfg)
+            self._last_frontend = pose6
+            pose6 = np.asarray(refined)
+            self._last_refined = pose6
+
         T = np.asarray(se3.pose_to_matrix(jnp.asarray(pose6)))
 
         # --- semantic labels on the feature clouds (semanticFusionNode) ---
