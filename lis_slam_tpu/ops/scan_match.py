@@ -24,7 +24,6 @@ Differences from the reference, by design (documented):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -24,7 +24,7 @@ host-driven jitted calls, mirroring the reference's thread structure
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax
@@ -35,7 +35,7 @@ from ..graph import pose_graph
 from ..loop import epsc
 from ..mapping import submap as sm
 from ..ops import icp as icp_ops
-from ..ops import knn, scan_match, voxel
+from ..ops import knn, scan_match
 from ..semantic import fusion
 from ..utils import se3
 from . import odometry, trajectory

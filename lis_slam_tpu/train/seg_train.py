@@ -9,7 +9,6 @@ gradient all-reduce on ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
