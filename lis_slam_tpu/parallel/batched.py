@@ -29,8 +29,15 @@ def batched_init_state(cfg: SlamConfig, batch: int) -> odometry.OdomState:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def batched_odom_step(states, scans, cfg: SlamConfig):
-    """vmapped odom_step over the leading sequence axis."""
-    return jax.vmap(lambda s, sc: odometry.odom_step(s, sc, cfg))(states, scans)
+    """vmapped per-scan step over the leading sequence axis.
+
+    Uses the cond-free (uniform) step variant: under vmap, lax.cond runs
+    both branches, so the conditional single-sequence step would pay the
+    keyframe map merge every scan anyway — the uniform variant makes that
+    explicit and keeps per-sequence results exactly equal to the
+    single-sequence step."""
+    return jax.vmap(
+        lambda s, sc: odometry.odom_step_uniform(s, sc, cfg))(states, scans)
 
 
 def make_sharded_step(cfg: SlamConfig, mesh: Mesh):

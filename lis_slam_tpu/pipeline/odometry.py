@@ -173,10 +173,39 @@ def _keyframe_gate(pose: jnp.ndarray, last_kf_pose: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def odom_step(state: OdomState, scan: ScanInput,
-              cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
-    """Process one scan end-to-end (preprocess + match + map update)."""
+def _insert_keyframe_masked(state: OdomState, fc: feat_ops.FeatureClouds,
+                            pose: jnp.ndarray, is_kf: jnp.ndarray,
+                            cfg: SlamConfig) -> OdomState:
+    """Cond-free keyframe insert: always runs the merge, but masks the new
+    cloud out when is_kf is False (map, ages, and bookkeeping then come out
+    bit-identical to the skip branch). Used by the batched multi-sequence
+    step — under vmap, lax.cond executes both branches, so the conditional
+    variant pays the merge anyway and diverges per sequence."""
+    fc = fc._replace(
+        corner_mask=fc.corner_mask & is_kf,
+        surf_mask=fc.surf_mask & is_kf,
+    )
+    inserted = _insert_keyframe(state, fc, pose, cfg)
+    # scalar bookkeeping must not advance on non-keyframes
+    return inserted._replace(
+        kf_poses=jnp.where(is_kf, inserted.kf_poses, state.kf_poses),
+        kf_count=jnp.where(is_kf, inserted.kf_count, state.kf_count),
+        kf_head=jnp.where(is_kf, inserted.kf_head, state.kf_head),
+        last_kf_pose=jnp.where(is_kf, inserted.last_kf_pose,
+                               state.last_kf_pose),
+        # the merge with an empty new cloud still re-sorts/compacts the map
+        # (same content, possibly refreshed order) — safe either way, but
+        # keep ages/masks from the merge so expiry stays consistent
+    )
+
+
+def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
+                    uniform: bool) -> tuple[OdomState, OdomOutput]:
+    """Process one scan end-to-end (preprocess + match + map update).
+
+    uniform=True uses the cond-free masked keyframe insert (for vmapped
+    multi-sequence batching, where lax.cond would run both branches and
+    diverge per sequence)."""
     fc = preprocess(scan, cfg)
 
     # ---- initial guess cascade (updateInitialGuess :297-419):
@@ -233,12 +262,15 @@ def odom_step(state: OdomState, scan: ScanInput,
 
     # ---- keyframe insert + map rebuild (saveKeyFrames) ----
     is_kf = _keyframe_gate(pose, state.last_kf_pose, state.kf_count, cfg)
-    state = jax.lax.cond(
-        is_kf,
-        lambda s: _insert_keyframe(s, fc, pose, cfg),
-        lambda s: s,
-        state,
-    )
+    if uniform:
+        state = _insert_keyframe_masked(state, fc, pose, is_kf, cfg)
+    else:
+        state = jax.lax.cond(
+            is_kf,
+            lambda s: _insert_keyframe(s, fc, pose, cfg),
+            lambda s: s,
+            state,
+        )
 
     # ---- velocity model update ----
     T_new = se3.pose_to_matrix(pose)
@@ -259,3 +291,17 @@ def odom_step(state: OdomState, scan: ScanInput,
         iterations=gn.it,
     )
     return state, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odom_step(state: OdomState, scan: ScanInput,
+              cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
+    """Single-sequence per-scan step (keyframe insert under lax.cond)."""
+    return _odom_step_impl(state, scan, cfg, uniform=False)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odom_step_uniform(state: OdomState, scan: ScanInput,
+                      cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
+    """Cond-free per-scan step for vmapped multi-sequence replay."""
+    return _odom_step_impl(state, scan, cfg, uniform=True)
