@@ -74,3 +74,43 @@ def test_batched_replay_matches_single(tmp_path):
         np.testing.assert_allclose(poses[0], single, atol=5e-3)
     finally:
         syn.hdl64_elevations = orig
+
+
+@pytest.mark.slow
+def test_uniform_step_matches_cond_step():
+    """The cond-free masked-insert step must produce the same trajectory as
+    the lax.cond step on a single sequence."""
+    import lis_slam_tpu.io.synthetic as syn
+
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        boxes = [[-30, -5, 0, -20, 5, 8], [20, -5, 0, 30, 5, 8],
+                 [-5, 15, 0, 5, 25, 10], [-5, -25, 0, 5, -15, 10]]
+        poles = [[10 * np.cos(a), 10 * np.sin(a), 0.15, 5.0]
+                 for a in np.linspace(0, 2 * np.pi, 12)]
+        world = synthetic.World(
+            boxes=np.asarray(boxes, float),
+            box_labels=np.asarray([synthetic.LBL_BUILDING] * 4, np.int32),
+            poles=np.asarray(poles))
+        cfg = tiny_cfg()
+        n = 6
+        gt = synthetic.circular_trajectory(n + 1, radius=4.0, speed=3.0)
+        sins = []
+        for i in range(n):
+            s = synthetic.render_scan(world, gt[i], None, n_scan=16,
+                                      horizon=900, seed=700 + i, max_range=90.0)
+            sins.append(driver.pad_scan(s.points[s.valid], cfg))
+        s1 = odometry.init_state(cfg)
+        s2 = odometry.init_state(cfg)
+        for sin in sins:
+            s1, o1 = odometry.odom_step(s1, sin, cfg)
+            s2, o2 = odometry.odom_step_uniform(s2, sin, cfg)
+            np.testing.assert_allclose(
+                np.asarray(o1.pose), np.asarray(o2.pose), atol=1e-5)
+            assert bool(o1.is_keyframe) == bool(o2.is_keyframe)
+        np.testing.assert_allclose(
+            np.asarray(s1.map_surf_mask).sum(),
+            np.asarray(s2.map_surf_mask).sum())
+    finally:
+        syn.hdl64_elevations = orig
