@@ -176,6 +176,15 @@ def correct_delta(pre: PreintegratedImu, dbg: jnp.ndarray, dba: jnp.ndarray):
     return dR, dv, dp
 
 
+def imu_to_lidar(gyro: jnp.ndarray, accel: jnp.ndarray, cfg: ImuConfig):
+    """Rotate raw IMU measurements into the lidar frame (imuConverter,
+    reference utility.h:482-517: acc/gyr left-multiplied by extRot). The
+    reference also remaps orientation via extRPY; orientation here is
+    derived from the rotated rates, so extRot covers it."""
+    R = jnp.asarray(cfg.extrinsic_rot, jnp.float32)
+    return gyro @ R.T, accel @ R.T
+
+
 def failure_detection(velocity: jnp.ndarray, bg: jnp.ndarray,
                       ba: jnp.ndarray) -> jnp.ndarray:
     """Reference failureDetection (subMapOptmizationNode.cpp:2222-2238):

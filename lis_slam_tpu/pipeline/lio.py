@@ -64,6 +64,14 @@ class LioOdometry:
         cfg = self.cfg
         from . import driver
 
+        # rotate raw IMU into the lidar frame (imuConverter, utility.h:482-517)
+        if len(imu_time):
+            g_j, a_j = pi.imu_to_lidar(
+                jnp.asarray(imu_gyro, jnp.float32),
+                jnp.asarray(imu_accel, jnp.float32), cfg.imu)
+            imu_gyro = np.asarray(g_j)
+            imu_accel = np.asarray(a_j)
+
         # --- preintegrate the inter-scan window for the initial guess ---
         init_guess = None
         if self._last_pose6 is not None and len(imu_time) >= 2:

@@ -318,6 +318,23 @@ class SemanticSlam:
                 s.pose_opt = opt[k]
 
     # ------------------------------------------------------------------
+    def add_gps(self, position_xyz: np.ndarray, cov_xyz: np.ndarray):
+        """Ingest a GPS fix (addGPSFactor, subMapOptmizationNode.cpp:4217-
+        4301): gated on covariance, attached as a position prior to the most
+        recent submap node (elevation optionally ignored via a large z
+        sigma, matching useGpsElevation=false)."""
+        cfg = self.cfg
+        if float(np.max(cov_xyz[:2])) > cfg.graph.gps_cov_threshold:
+            return False
+        if not self.collector.submaps:
+            return False
+        node = self.collector.submaps[-1].index
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = position_xyz
+        self.graph.add_gps_prior(node, T, np.sqrt(np.maximum(cov_xyz, 1e-6)))
+        return True
+
+    # ------------------------------------------------------------------
     def finish(self, build_map: bool = False) -> SlamResult:
         """finishMap service equivalent: flush the last submap, final
         optimization, trajectory correction (transformFusion)."""

@@ -135,3 +135,14 @@ def test_velocity_bias_update_consistency():
                      bg=jnp.zeros(3), ba=jnp.zeros(3))
     out = pi.velocity_bias_update(st, pre, pose_prev, pose_new, cfg.gravity)
     np.testing.assert_allclose(np.asarray(out.v), v0, atol=2e-2)
+
+
+def test_imu_to_lidar_extrinsics():
+    """Rotating rates by the extrinsic must match R @ v per sample."""
+    cfg = ImuConfig()
+    R = np.asarray(cfg.extrinsic_rot)
+    g = np.random.default_rng(0).normal(size=(8, 3)).astype(np.float32)
+    a = np.random.default_rng(1).normal(size=(8, 3)).astype(np.float32)
+    g2, a2 = pi.imu_to_lidar(jnp.asarray(g), jnp.asarray(a), cfg)
+    np.testing.assert_allclose(np.asarray(g2), g @ R.T, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a2), a @ R.T, atol=1e-6)

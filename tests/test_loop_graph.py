@@ -222,3 +222,28 @@ def test_gps_prior_pulls_node():
     gb.add_gps_prior(1, gps, np.full(3, 0.002))
     opt = gb.optimize()
     np.testing.assert_allclose(opt[1][:3, 3], [10.0, 0.0, 0.0], atol=0.05)
+
+
+def test_slam_gps_ingestion():
+    """SemanticSlam.add_gps gates on covariance and attaches a prior."""
+    from lis_slam_tpu.pipeline import slam as slam_mod
+    from tests.test_slam_pipeline import tiny_cfg
+
+    system = slam_mod.SemanticSlam(tiny_cfg())
+    # no submaps yet -> rejected
+    assert not system.add_gps(np.zeros(3), np.full(3, 0.1))
+    # fake a submap node
+    import lis_slam_tpu.mapping.submap as sm
+    import jax.numpy as jnp
+
+    fake = sm.SubMap(
+        index=0, pose_init=np.eye(4), pose_opt=np.eye(4),
+        corner_xyz=jnp.zeros((8, 3)), corner_mask=jnp.zeros(8, bool),
+        surf_xyz=jnp.zeros((8, 3)), surf_mask=jnp.zeros(8, bool))
+    system.collector.submaps.append(fake)
+    system.graph.add_node(np.eye(4))
+    # high covariance -> gated out (gpsCovThreshold)
+    assert not system.add_gps(np.asarray([1.0, 2.0, 0.0]), np.full(3, 100.0))
+    # good fix -> accepted as a prior
+    assert system.add_gps(np.asarray([1.0, 2.0, 0.0]), np.full(3, 0.1))
+    assert len(system.graph.priors) == 2  # anchor + gps
