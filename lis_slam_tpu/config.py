@@ -102,6 +102,9 @@ class FeatureConfig:
     occlusion_range_diff: float = 0.3
     occlusion_col_diff: int = 10
     parallel_beam_ratio: float = 0.02
+    # reference-faithful greedy pick-and-suppress selection (slow on TPU;
+    # the vectorized local-extremum selection is the production default)
+    greedy_selection: bool = False
     # fixed capacities for padded feature buffers (per scan)
     max_corner_points: int = 4096
     max_surf_points: int = 32768

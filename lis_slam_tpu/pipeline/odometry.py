@@ -121,7 +121,8 @@ def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
         pts, pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg.sensor,
         want_image=False,
     )
-    return feat_ops.extract_features(ext, cfg.feature)
+    return feat_ops.extract_features(
+        ext, cfg.feature, greedy=cfg.feature.greedy_selection)
 
 
 def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,

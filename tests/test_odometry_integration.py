@@ -63,3 +63,48 @@ def test_ate_metrics_basics():
     assert trajectory.ate_rmse(est, gt, align=True) < 1e-6
     rpe_t, rpe_r = trajectory.rpe(est, gt)
     assert rpe_t < 1e-6 and rpe_r < 1e-4
+
+
+@pytest.mark.slow
+def test_greedy_and_vectorized_features_track_alike():
+    """The vectorized local-extremum feature selection (production) and the
+    reference-faithful greedy replica must produce near-identical odometry
+    over a short replay — validating the documented deviation downstream."""
+    import dataclasses
+    from tests.test_slam_pipeline import tiny_cfg
+    import lis_slam_tpu.io.synthetic as syn
+
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        rng = np.random.default_rng(9)
+        boxes, labels = [], []
+        for k in range(14):
+            ang = 2 * np.pi * k / 14
+            cx, cy = 26.0 * np.cos(ang), 10.0 + 26.0 * np.sin(ang)
+            w, d, h = rng.uniform(5, 9), rng.uniform(5, 9), rng.uniform(5, 14)
+            boxes.append([cx - w / 2, cy - d / 2, 0, cx + w / 2, cy + d / 2, h])
+            labels.append(synthetic.LBL_BUILDING)
+        poles = [[r * np.cos(a), 10.0 + r * np.sin(a), 0.15, 5.0]
+                 for a, r in zip(np.linspace(0, 2 * np.pi, 24),
+                                 rng.uniform(15, 20, 24))]
+        world = synthetic.World(
+            boxes=np.asarray(boxes), box_labels=np.asarray(labels, np.int32),
+            poles=np.asarray(poles))
+        n = 12
+        gt = synthetic.circular_trajectory(n + 1, radius=10.0, speed=6.3)
+        scans = [
+            synthetic.render_scan(world, gt[i], None, n_scan=16, horizon=900,
+                                  seed=800 + i, max_range=90.0)
+            for i in range(n)
+        ]
+        base = tiny_cfg()
+        greedy_cfg = base.replace(
+            feature=dataclasses.replace(base.feature, greedy_selection=True))
+        res_v = driver.replay_odometry(scans, base)
+        res_g = driver.replay_odometry(scans, greedy_cfg)
+        # same trajectory within a few centimeters over ~7.5 m travelled
+        err = np.linalg.norm(res_v.poses[:, 3:] - res_g.poses[:, 3:], axis=1)
+        assert err.max() < 0.1, f"max divergence {err.max():.3f} m"
+    finally:
+        syn.hdl64_elevations = orig
