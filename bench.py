@@ -93,16 +93,17 @@ def main():
     gt_rel = trajectory.relative_to_first(gt[:n_scans])
     ate = trajectory.ate_rmse(poses, gt_rel, align=False)
 
-    # ---- batched multi-sequence replay (config 5): aggregate throughput.
-    # Off by default: under vmap, lax.cond runs both branches, so every
-    # sequence pays the keyframe map rebuild every scan — the batched path
-    # needs a cond-free step variant before its throughput is meaningful. ----
+    # ---- batched multi-sequence replay (config 5): aggregate throughput
+    # via the cond-free uniform step (odom_step_uniform). On ONE chip the
+    # step is VPU-bound, so the aggregate tops out near the single-sequence
+    # rate; the multi-chip sharded path (parallel/batched.make_sharded_step,
+    # validated by dryrun_multichip) scales it across ICI. ----
     from lis_slam_tpu.parallel import batched as pb
 
-    B = int(os.environ.get("BENCH_BATCH", "0"))
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     sps_batched = 0.0
     if B > 0:
-        n_b = min(12, n_scans)
+        n_b = min(24, n_scans)
         bstates = pb.batched_init_state(cfg, B)
         stack = lambda sin: jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), sin)

@@ -128,6 +128,10 @@ class MatchingConfig:
     degeneracy_eigen_threshold: float = 100.0
     converge_delta_r_deg: float = 0.005
     converge_delta_t_cm: float = 0.05
+    # cond-free solver schedule for vmapped multi-sequence replay
+    # (scan_to_map_scheduled): static iteration count + kNN refresh points
+    uniform_iters: int = 8
+    uniform_refresh: tuple = (2, 5)
     # map buffer capacities (multi-frame target, voxel-downsampled).
     # Sized ~2x the occupancy observed on dense urban synthetic replay
     # (surf ~29k, corner ~3k voxels over the 20-keyframe window).
@@ -239,6 +243,12 @@ class SemanticConfig:
     img_means: tuple = (12.12, 10.88, 0.23, -1.04, 0.21)
     img_stds: tuple = (12.32, 11.47, 6.91, 0.86, 0.16)
     fp16: bool = True  # bf16 on TPU
+    # architecture scaling: defaults = the released darknet53 backbone-OS32
+    # (arch_cfg.yaml); the slim preset (see SLIM_SEMANTIC) is what the
+    # in-repo synthetic-world checkpoint uses (~1.7M params, committable)
+    enc_blocks: tuple = (1, 2, 8, 8, 4)
+    enc_widths: tuple = (64, 128, 256, 512, 1024)
+    dec_widths: tuple = (512, 256, 128, 64, 32)
 
 
 @dataclass(frozen=True)
@@ -316,6 +326,17 @@ def m2_config() -> SlamConfig:
             lidar_min_range=1.0, lidar_max_range=90.0, max_raw_points=80_000,
         ),
         runtime=dataclasses.replace(base.runtime, save_trajectory=True),
+    )
+
+
+def slim_semantic_config() -> SemanticConfig:
+    """Reduced RangeNet for the in-repo synthetic-world checkpoint:
+    same OS-32 encoder/decoder topology, ~1/30 the parameters."""
+    return SemanticConfig(
+        enabled=True,
+        enc_blocks=(1, 1, 2, 2, 2),
+        enc_widths=(16, 32, 64, 96, 128),
+        dec_widths=(96, 64, 48, 32, 24),
     )
 
 

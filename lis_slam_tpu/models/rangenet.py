@@ -104,17 +104,27 @@ class UpBlock(nn.Module):
 
 
 class RangeNet(nn.Module):
-    """Full encoder-decoder; input (B, 64, W, 5), output (B, 64, W, C)."""
+    """Full encoder-decoder; input (B, 64, W, 5), output (B, 64, W, C).
+
+    blocks/widths default to the released darknet53 OS-32 configuration;
+    the slim preset (config.slim_semantic_config) shrinks them for the
+    in-repo synthetic checkpoint."""
 
     num_classes: int = 20
     dtype: jnp.dtype = jnp.bfloat16
+    enc_blocks: Sequence[int] = (1, 2, 8, 8, 4)
+    enc_widths: Sequence[int] = (64, 128, 256, 512, 1024)
+    dec_widths: Sequence[int] = (512, 256, 128, 64, 32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        enc, skips = Darknet53Encoder(dtype=self.dtype)(x, train)
+        enc, skips = Darknet53Encoder(
+            blocks=tuple(self.enc_blocks), widths=tuple(self.enc_widths),
+            dtype=self.dtype,
+        )(x, train)
         y = enc
-        for feats, skip in zip((512, 256, 128, 64, 32), reversed(skips)):
+        for feats, skip in zip(self.dec_widths, reversed(skips)):
             y = UpBlock(feats, dtype=self.dtype)(y, skip, train)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(y)
         return logits
@@ -140,7 +150,9 @@ def build_input_image(rng_img, xyz_img, intensity_img, mask, cfg: SemanticConfig
 
 def create_model(cfg: SemanticConfig):
     return RangeNet(num_classes=cfg.num_classes,
-                    dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32)
+                    dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
+                    enc_blocks=cfg.enc_blocks, enc_widths=cfg.enc_widths,
+                    dec_widths=cfg.dec_widths)
 
 
 def init_params(key, cfg: SemanticConfig, input_w: int | None = None):

@@ -136,32 +136,41 @@ def project_and_extract(
     # a separate argsort+gather costs an extra ~3 ms of random access
     cols_payload = (
         rng, points[:, 0], points[:, 1], points[:, 2], intensity, rel_time,
-        (pix % h).astype(jnp.float32),
     )
     sorted1 = jax.lax.sort((key,) + cols_payload, num_keys=1)
     ks = sorted1[0]
     kpix = ks // 16384
     first = jnp.concatenate([jnp.ones(1, bool), kpix[1:] != kpix[:-1]])
     first = first & (ks != 2**31 - 1)
+    wp = jnp.stack(sorted1[1:], axis=1)  # (P, 6) rng,x,y,z,int,time
 
-    # compact winners to the front, preserving pixel order (second sort)
-    ridx = jnp.arange(p_cap, dtype=jnp.int32)
-    rank = jnp.where(first, ridx, jnp.int32(p_cap) + ridx)
-    sorted2 = jax.lax.sort((rank, kpix) + sorted1[1:], num_keys=1)
-    win_pix = sorted2[1]
-    cnt = jnp.sum(first.astype(jnp.int32))
-    wslot = jnp.arange(p_cap)
-    wvalid = wslot < cnt
-    wp = jnp.stack(sorted2[2:], axis=1)  # (P, 7)
-    wp = jnp.where(wvalid[:, None], wp, 0.0)
+    # winners are already in row-major pixel order within sorted1; their
+    # per-row compaction slot is their global winner rank minus the row's
+    # first winner rank — ONE unique-index scatter replaces the second
+    # (9-operand) sort of the round-1 implementation
+    win_row = jnp.where(first, kpix // h, n)
+    counts = jnp.sum(
+        (win_row[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]),
+        axis=0,
+    ).astype(jnp.int32)  # (n,) winners per row
+    row_start = jnp.cumsum(counts) - counts  # exclusive prefix
+    wrank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot = wrank - row_start[jnp.clip(win_row, 0, n - 1)]
+    cdest = jnp.where(first & (slot < h), win_row * h + slot, n * h)
+    col_f = (kpix % h).astype(jnp.float32)
+    payload = jnp.concatenate([wp, col_f[:, None]], axis=1)  # (P, 7)
+    comp = jnp.zeros((n * h + 1, 7), jnp.float32).at[cdest].set(
+        payload, unique_indices=True)[: n * h].reshape(n, h, 7)
+    count = counts
+    mask = jnp.arange(h)[None, :] < count[:, None]
 
-    # grid image: one unique-index scatter (skippable — the LOAM front end
-    # only needs the compacted cloud; semantics need the image)
+    # grid image: one more unique-index scatter (skippable — the LOAM front
+    # end only needs the compacted cloud; semantics need the image)
     img = None
     if want_image:
-        gdest = jnp.where(wvalid, win_pix, n * h)
+        gdest = jnp.where(first, kpix, n * h)
         grid = jnp.zeros((n * h + 1, 7), jnp.float32).at[gdest].set(
-            wp, unique_indices=True)[: n * h]
+            payload, unique_indices=True)[: n * h]
         rng_img = jnp.where(grid[:, 0] > 0, grid[:, 0], _INVALID_RANGE)
         img = RangeImage(
             rng=rng_img.reshape(n, h),
@@ -170,16 +179,6 @@ def project_and_extract(
             time=grid[:, 5].reshape(n, h),
             mask=(grid[:, 0] > 0).reshape(n, h),
         )
-
-    # per-row compaction: slot within row = global winner index - row start
-    win_row = jnp.where(wvalid, win_pix // h, n)
-    row_start = jnp.searchsorted(win_row, jnp.arange(n + 1)).astype(jnp.int32)
-    slot = wslot - row_start[jnp.clip(win_row, 0, n - 1)]
-    cdest = jnp.where(wvalid & (slot < h), win_row * h + slot, n * h)
-    comp = jnp.zeros((n * h + 1, 7), jnp.float32).at[cdest].set(
-        wp, unique_indices=True)[: n * h].reshape(n, h, 7)
-    count = row_start[1:] - row_start[:-1]
-    mask = jnp.arange(h)[None, :] < count[:, None]
     ext = ExtractedCloud(
         rng=jnp.where(mask, comp[..., 0], _INVALID_RANGE),
         xyz=comp[..., 1:4],

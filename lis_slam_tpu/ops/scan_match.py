@@ -267,12 +267,14 @@ def scan_to_map(
         T = se3.pose_to_matrix(pose)
         cw = se3.transform_points(T, corner_pts)
         sw = se3.transform_points(T, surf_pts)
-        _cd, _ci, c_cand = pallas_knn.knn(
-            cw, corner_map, corner_map_mask, k=cache_k)
-        _sd, _si, s_cand = pallas_knn.knn(
-            sw, surf_map, surf_map_mask, k=cache_k)
-        c_ok = jnp.sum((c_cand - cw[:, None, :]) ** 2, -1) < 4.0
-        s_ok = jnp.sum((s_cand - sw[:, None, :]) ** 2, -1) < 4.0
+        cd_, _ci, c_cand = pallas_knn.knn(
+            cw, corner_map, corner_map_mask, k=cache_k, max_sq_dist=4.0)
+        sd_, _si, s_cand = pallas_knn.knn(
+            sw, surf_map, surf_map_mask, k=cache_k, max_sq_dist=4.0)
+        # kernel caps the search at 4.0 (candidates beyond the cache margin
+        # are discarded below anyway) so far map tiles skip entirely
+        c_ok = cd_ < 4.0
+        s_ok = sd_ < 4.0
         return c_cand, c_ok, s_cand, s_ok, pose
 
     cache0 = search(pose0)
@@ -329,3 +331,94 @@ def scan_to_map(
     )
     out, _ = jax.lax.while_loop(cond, body, (init, cache0))
     return out
+
+
+def scan_to_map_scheduled(
+    pose0: jnp.ndarray,
+    corner_pts: jnp.ndarray,
+    corner_mask: jnp.ndarray,
+    surf_pts: jnp.ndarray,
+    surf_mask: jnp.ndarray,
+    corner_map: jnp.ndarray,
+    corner_map_mask: jnp.ndarray,
+    surf_map: jnp.ndarray,
+    surf_map_mask: jnp.ndarray,
+    cfg: MatchingConfig,
+    n_iters: int,
+    refresh_iters: tuple[int, ...] = (2, 5),
+    corner_sem_weight: jnp.ndarray | None = None,
+    surf_sem_weight: jnp.ndarray | None = None,
+    cache_k: int = 10,
+) -> GNState:
+    """Cond-free scan-to-map optimization with a STATIC refresh schedule.
+
+    Same math as scan_to_map, but control flow is fully static: an unrolled
+    `n_iters`-iteration loop with neighbor-cache refreshes at the python-level
+    iterations in `refresh_iters` (plus the initial search), and masked
+    updates after convergence in place of the while-loop early exit. This is
+    the variant for vmapped multi-sequence replay: under vmap, `lax.cond`
+    executes both branches, so the drift-triggered refresh of scan_to_map
+    degrades to a full kNN search on EVERY GN iteration for every sequence —
+    the static schedule pays exactly len(refresh_iters)+1 searches total.
+    """
+    from . import pallas_knn
+
+    corner_pts, corner_mask, corner_sem_weight = _morton_sort_queries(
+        corner_pts, corner_mask, corner_sem_weight)
+    surf_pts, surf_mask, surf_sem_weight = _morton_sort_queries(
+        surf_pts, surf_mask, surf_sem_weight)
+
+    def search(pose):
+        T = se3.pose_to_matrix(pose)
+        cw = se3.transform_points(T, corner_pts)
+        sw = se3.transform_points(T, surf_pts)
+        cd_, _ci, c_cand = pallas_knn.knn(
+            cw, corner_map, corner_map_mask, k=cache_k, max_sq_dist=4.0)
+        sd_, _si, s_cand = pallas_knn.knn(
+            sw, surf_map, surf_map_mask, k=cache_k, max_sq_dist=4.0)
+        c_ok = cd_ < 4.0
+        s_ok = sd_ < 4.0
+        return c_cand, c_ok, s_cand, s_ok
+
+    state = GNState(
+        pose=pose0,
+        proj=jnp.eye(6),
+        degenerate=jnp.bool_(False),
+        converged=jnp.bool_(False),
+        n_valid=jnp.int32(0),
+        it=jnp.int32(0),
+    )
+    cache = search(pose0)
+    pts = jnp.concatenate([corner_pts, surf_pts], axis=0)
+    for i in range(n_iters):
+        if i in refresh_iters:
+            cache = search(state.pose)
+        c_cand, c_ok, s_cand, s_ok = cache
+        T = se3.pose_to_matrix(state.pose)
+        cw = se3.transform_points(T, corner_pts)
+        sw = se3.transform_points(T, surf_pts)
+        cd, csel = _rerank_neighbors(cw, c_cand, c_ok, 5)
+        sd, ssel = _rerank_neighbors(sw, s_cand, s_ok, 5)
+        c_near = jnp.take_along_axis(c_cand, csel[..., None], axis=1)
+        s_near = jnp.take_along_axis(s_cand, ssel[..., None], axis=1)
+        cc = corner_correspondences(
+            cw, corner_mask, c_near, cd, cfg, corner_sem_weight)
+        sc = surf_correspondences(
+            sw, surf_mask, s_near, sd, cfg, surf_sem_weight)
+        coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
+        res = jnp.concatenate([cc.residual, sc.residual], axis=0)
+        val = jnp.concatenate([cc.valid, sc.valid], axis=0)
+        new_pose, proj, degen, conv, n_valid = gauss_newton_update(
+            state.pose, pts, coeff, res, val, state.it, state.proj,
+            state.degenerate, cfg,
+        )
+        active = ~state.converged
+        state = GNState(
+            pose=jnp.where(active, new_pose, state.pose),
+            proj=jnp.where(active, proj, state.proj),
+            degenerate=jnp.where(active, degen, state.degenerate),
+            converged=state.converged | conv,
+            n_valid=jnp.where(active, n_valid, state.n_valid),
+            it=state.it + active.astype(jnp.int32),
+        )
+    return state

@@ -33,9 +33,11 @@ def batched_odom_step(states, scans, cfg: SlamConfig):
 
     Uses the cond-free (uniform) step variant: under vmap, lax.cond runs
     both branches, so the conditional single-sequence step would pay the
-    keyframe map merge every scan anyway — the uniform variant makes that
-    explicit and keeps per-sequence results exactly equal to the
-    single-sequence step."""
+    keyframe map merge every scan AND a kNN search every GN iteration. The
+    uniform variant (masked keyframe insert + static-refresh-schedule
+    solver) makes both costs explicit and fixed. Per-sequence results are
+    exactly equal to the single-sequence `odom_step_uniform` (and within
+    solver noise of `odom_step`, see test_uniform_step_matches_cond_step)."""
     return jax.vmap(
         lambda s, sc: odometry.odom_step_uniform(s, sc, cfg))(states, scans)
 

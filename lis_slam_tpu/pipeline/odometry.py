@@ -225,14 +225,27 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
     guess = jnp.where(first, first_guess, guess)
 
     # ---- scan-to-map optimization on the sharp clouds (:596-626) ----
-    gn = scan_match.scan_to_map(
-        guess,
-        fc.sharp_corner_xyz, fc.sharp_corner_mask,
-        fc.sharp_surf_xyz, fc.sharp_surf_mask,
-        state.map_corner, state.map_corner_mask,
-        state.map_surf, state.map_surf_mask,
-        cfg.matching, cfg.matching.max_iterations_frontend,
-    )
+    if uniform:
+        # cond-free static-schedule solver: under vmap the drift-triggered
+        # cache refresh of scan_to_map double-executes every iteration
+        gn = scan_match.scan_to_map_scheduled(
+            guess,
+            fc.sharp_corner_xyz, fc.sharp_corner_mask,
+            fc.sharp_surf_xyz, fc.sharp_surf_mask,
+            state.map_corner, state.map_corner_mask,
+            state.map_surf, state.map_surf_mask,
+            cfg.matching, cfg.matching.uniform_iters,
+            cfg.matching.uniform_refresh,
+        )
+    else:
+        gn = scan_match.scan_to_map(
+            guess,
+            fc.sharp_corner_xyz, fc.sharp_corner_mask,
+            fc.sharp_surf_xyz, fc.sharp_surf_mask,
+            state.map_corner, state.map_corner_mask,
+            state.map_surf, state.map_surf_mask,
+            cfg.matching, cfg.matching.max_iterations_frontend,
+        )
     pose = jnp.where(first, guess, gn.pose)
 
     # IMU roll/pitch slerp fusion (transformUpdate :979-1001): blend the

@@ -64,12 +64,29 @@ class SemanticSlam:
             max_edges=cfg.submap.max_submaps * 4,
             max_priors=cfg.submap.max_submaps,
         )
+        # --- semantic inference (semanticFusionNode): when semantics are
+        # enabled, run RangeNet on every keyframe. Weights come from
+        # `rangenet_params` (e.g. a training run) or, by default, the
+        # in-repo synthetic checkpoint (semantic/weights.py). ---
         self.model = None
         self.model_vars = rangenet_params
-        if cfg.semantic.enabled and rangenet_params is not None:
+        self.infer = None
+        if cfg.semantic.enabled:
             from ..models import rangenet
+            from ..semantic import inference as sem_inf
 
-            self.model = rangenet.create_model(cfg.semantic)
+            if rangenet_params is not None:
+                self.model = rangenet.create_model(cfg.semantic)
+                self.infer = lambda pts, val: sem_inf.infer_scan_labels(
+                    self.model, self.model_vars, pts, val, cfg)
+            else:
+                try:
+                    wrapped = sem_inf.SemanticInference(cfg)
+                    self.model = wrapped.model
+                    self.model_vars = wrapped.variables
+                    self.infer = wrapped
+                except FileNotFoundError:
+                    pass  # no checkpoint shipped/available: labels must be fed
 
         self.scan_poses: list[np.ndarray] = []  # per-scan odometry pose6
         self.keyframes: list[sm.Keyframe] = []
@@ -92,27 +109,40 @@ class SemanticSlam:
     # ------------------------------------------------------------------
     def process_scan(self, scan: odometry.ScanInput,
                      gt_labels: np.ndarray | None = None) -> np.ndarray:
-        """Feed one scan; returns the current odometry pose6."""
+        """Feed one scan; returns the current odometry pose6.
+
+        Labels for the semantic stages come from `gt_labels` when provided
+        (synthetic ground truth / an external segmentation stream), else
+        from on-device RangeNet inference at keyframe rate
+        (semanticFusionNode.cpp:139-170)."""
         self.state, out = odometry.odom_step(self.state, scan, self.cfg)
         pose6 = np.asarray(out.pose)
         self.scan_poses.append(pose6)
         if bool(out.is_keyframe):
-            self._on_keyframe(scan, pose6, gt_labels)
+            labels = gt_labels
+            if labels is None and self.infer is not None:
+                lab_raw, _sem = self.infer(scan.points, scan.valid)
+                # keep the gt-label convention: labels indexed over the
+                # VALID raw points in order
+                labels = np.asarray(lab_raw)[np.asarray(scan.valid)]
+            self._on_keyframe(scan, pose6, labels)
         self._scan_idx += 1
         return pose6
 
     # ------------------------------------------------------------------
-    def _on_keyframe(self, scan, pose6, gt_labels):
+    def _on_keyframe(self, scan, pose6, labels):
+        """`labels`: learning-class id per VALID raw point (ground truth or
+        RangeNet inference, see process_scan), or None for geometric-only."""
         cfg = self.cfg
         fc = self._preprocess(scan)
 
         # --- stage-1 back-end refinement (SubMapOdometryNode): semantic-
         # weighted re-registration against the sliding semantic local map,
         # seeded by the front-end pose ---
-        if gt_labels is not None:
+        if labels is not None:
             lab_raw = np.zeros(cfg.sensor.max_raw_points, np.int32)
             nval = int(np.asarray(scan.valid).sum())
-            lab_arr = np.asarray(gt_labels)[:nval]
+            lab_arr = np.asarray(labels)[:nval]
             lab_raw[: len(lab_arr)] = lab_arr
             sscan = self._semo.build_semantic_scan(
                 scan, jnp.asarray(lab_raw), cfg)
@@ -143,9 +173,9 @@ class SemanticSlam:
         # corner/surf split plus coarse labels is what matters)
         corner = fc.sharp_corner_xyz
         surf = fc.surf_xyz
-        if gt_labels is not None:
-            # synthetic path: label by matching nearest raw point
-            lab_surf = self._labels_for(scan, surf, gt_labels)
+        if labels is not None:
+            # label by matching nearest raw point
+            lab_surf = self._labels_for(scan, surf, labels)
         else:
             lab_surf = jnp.zeros(surf.shape[0], jnp.int32)
 

@@ -105,9 +105,8 @@ def main():
 
     # ---- run some real steps to get a converged state ----
     state = odometry.init_state(cfg)
-    fcs = []
+    fcs = [preprocess(s) for s in padded]
     for s in padded:
-        fcs.append(jax.jit(lambda sc: odometry.preprocess(sc, cfg))(s))
         state, out = odometry.odom_step(state, s, cfg)
     jax.block_until_ready(state)
 
@@ -115,24 +114,37 @@ def main():
     from lis_slam_tpu.ops import scan_match
 
     @jax.jit
-    def s_gn(fc, pose):
+    def s_gn(st, fc, pose):
         return scan_match.scan_to_map(
             pose, fc.sharp_corner_xyz, fc.sharp_corner_mask,
             fc.sharp_surf_xyz, fc.sharp_surf_mask,
-            state.map_corner, state.map_corner_mask,
-            state.map_surf, state.map_surf_mask,
+            st.map_corner, st.map_corner_mask,
+            st.map_surf, st.map_surf_mask,
             cfg.matching, cfg.matching.max_iterations_frontend)
 
-    args = [(fc, state.pose) for fc in fcs]
-    ms = timeit(lambda fc, p: s_gn(fc, p), args, n=16)
+    args = [(state, fc, state.pose) for fc in fcs]
+    ms = timeit(s_gn, args, n=16)
     print(f"scan-to-map GN        : {ms:7.2f} ms")
+
+    @jax.jit
+    def s_gn_sched(st, fc, pose):
+        return scan_match.scan_to_map_scheduled(
+            pose, fc.sharp_corner_xyz, fc.sharp_corner_mask,
+            fc.sharp_surf_xyz, fc.sharp_surf_mask,
+            st.map_corner, st.map_corner_mask,
+            st.map_surf, st.map_surf_mask,
+            cfg.matching, cfg.matching.uniform_iters,
+            cfg.matching.uniform_refresh)
+
+    ms = timeit(s_gn_sched, args, n=16)
+    print(f"scan-to-map scheduled : {ms:7.2f} ms")
 
     # ---- stage: keyframe merge ----
     @jax.jit
-    def s_merge(fc, pose):
-        return odometry._insert_keyframe(state, fc, pose, cfg)
+    def s_merge(st, fc, pose):
+        return odometry._insert_keyframe(st, fc, pose, cfg)
 
-    ms = timeit(lambda fc, p: s_merge(fc, p), args, n=16)
+    ms = timeit(s_merge, args, n=16)
     print(f"keyframe merge        : {ms:7.2f} ms")
 
     # ---- fused full step ----

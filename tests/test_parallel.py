@@ -55,13 +55,17 @@ def test_batched_replay_matches_single(tmp_path):
         ]
         sins = [driver.pad_scan(s.points[s.valid], cfg) for s in scans]
 
-        # single
+        # single-sequence runs of both step variants
         state = odometry.init_state(cfg)
-        single = []
+        state_u = odometry.init_state(cfg)
+        single, single_u = [], []
         for sin in sins:
             state, out = odometry.odom_step(state, sin, cfg)
             single.append(np.asarray(out.pose))
+            state_u, out_u = odometry.odom_step_uniform(state_u, sin, cfg)
+            single_u.append(np.asarray(out_u.pose))
         single = np.asarray(single)
+        single_u = np.asarray(single_u)
 
         # batched x2 on the 8-device CPU mesh
         m = pmesh.make_mesh(8, model_parallel=1)
@@ -69,17 +73,21 @@ def test_batched_replay_matches_single(tmp_path):
         assert poses.shape == (2, n, 6)
         # identical sequences in one batch must agree exactly
         np.testing.assert_array_equal(poses[0], poses[1])
-        # vs the unbatched step: vmap changes f32 reduction order, so allow
-        # sub-cm numeric divergence through the iterative solver
-        np.testing.assert_allclose(poses[0], single, atol=5e-3)
+        # vs the unbatched uniform step (same program): vmap only changes
+        # f32 reduction order, so sub-cm agreement through the solver
+        np.testing.assert_allclose(poses[0], single_u, atol=5e-3)
+        # and the cond-free solver tracks the drift-refresh solver closely
+        np.testing.assert_allclose(poses[0], single, atol=2e-2)
     finally:
         syn.hdl64_elevations = orig
 
 
 @pytest.mark.slow
 def test_uniform_step_matches_cond_step():
-    """The cond-free masked-insert step must produce the same trajectory as
-    the lax.cond step on a single sequence."""
+    """The cond-free step (masked keyframe insert + static-schedule solver)
+    must track the lax.cond step closely on a single sequence. Not exact:
+    the scheduled solver refreshes its neighbor cache at fixed iterations
+    instead of on pose drift, so converged poses differ at the mm level."""
     import lis_slam_tpu.io.synthetic as syn
 
     orig = syn.hdl64_elevations
@@ -107,10 +115,10 @@ def test_uniform_step_matches_cond_step():
             s1, o1 = odometry.odom_step(s1, sin, cfg)
             s2, o2 = odometry.odom_step_uniform(s2, sin, cfg)
             np.testing.assert_allclose(
-                np.asarray(o1.pose), np.asarray(o2.pose), atol=1e-5)
+                np.asarray(o1.pose), np.asarray(o2.pose), atol=2e-2)
             assert bool(o1.is_keyframe) == bool(o2.is_keyframe)
-        np.testing.assert_allclose(
-            np.asarray(s1.map_surf_mask).sum(),
-            np.asarray(s2.map_surf_mask).sum())
+        n1 = float(np.asarray(s1.map_surf_mask).sum())
+        n2 = float(np.asarray(s2.map_surf_mask).sum())
+        assert abs(n1 - n2) <= 0.02 * max(n1, 1.0)
     finally:
         syn.hdl64_elevations = orig
