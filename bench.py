@@ -55,20 +55,23 @@ def main():
     import functools
 
     @functools.partial(jax.jit, static_argnames=())
-    def prep(pts, val):
+    def prep(pts, lbl, val):
         ring, ok = _pre.compute_ring(pts, val, cfg.sensor.n_scan)
         keep = ok & (ring % cfg.sensor.downsample_rate == 0)
         pos = jnp.cumsum(keep) - 1
         dest = jnp.where(keep & (pos < P), pos, P)
-        buf = jnp.zeros((P + 1, 4), jnp.float32).at[dest].set(pts)[:P]
+        row = jnp.concatenate([pts, lbl.astype(jnp.float32)[:, None]], 1)
+        buf = jnp.zeros((P + 1, 5), jnp.float32).at[dest].set(row)[:P]
         cnt = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), P)
-        return buf, jnp.arange(P) < cnt
+        return buf[:, :4], buf[:, 4].astype(jnp.int32), jnp.arange(P) < cnt
 
     import jax as _jax
     padded = []
-    for pts, _lbl, val in scans:
-        bp, bv = prep(pts, val)
+    padded_labels = []
+    for pts, lbl, val in scans:
+        bp, bl, bv = prep(pts, lbl, val)
         padded.append(odometry.ScanInput(points=bp, valid=bv, **zero_imu))
+        padded_labels.append(bl)
     _jax.block_until_ready(padded[-1].points)
 
     state = odometry.init_state(cfg)
@@ -117,6 +120,51 @@ def main():
         wall_b = time.perf_counter() - tb
         sps_batched = B * (n_b - 1) / wall_b
 
+    # ---- configs 2-4: LIO, and full SemanticSlam (keyframe-rate semantic
+    # refinement + loop closure + pose graph). Undistorted device scans +
+    # synthetic IMU streams: these numbers track full-SYSTEM throughput
+    # (host orchestration + device programs), not front-end-only speed. ----
+    n_sys = min(int(os.environ.get("BENCH_SYS_SCANS", "25")), n_scans)
+    lio_sps = slam_sps = 0.0
+    slam_err = ""
+    try:
+        from lis_slam_tpu.pipeline import lio as lio_mod
+
+        import dataclasses as _dc
+
+        lcfg = cfg.replace(imu=_dc.replace(cfg.imu, use_imu=True))
+        lio_sys = lio_mod.LioOdometry(lcfg)
+        imu_t = np.arange(12) * 0.01
+        imu_g = np.zeros((12, 3), np.float32)
+        imu_a = np.tile(np.array([[0.0, 0.0, 9.80511]], np.float32), (12, 1))
+        host_scans = [np.asarray(padded[i].points)[np.asarray(padded[i].valid)]
+                      for i in range(n_sys)]
+        lio_sys.process_scan(host_scans[0], imu_t, imu_g, imu_a, 0.0)
+        t0 = time.perf_counter()
+        for i in range(1, n_sys):
+            lio_sys.process_scan(
+                host_scans[i], imu_t + i * 0.1, imu_g, imu_a, i * 0.1)
+        jax.block_until_ready(lio_sys.state.pose)
+        lio_sps = (n_sys - 1) / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - bench resilience
+        slam_err += f"lio: {e}; "
+
+    try:
+        from lis_slam_tpu.pipeline import slam as slam_mod
+
+        system = slam_mod.SemanticSlam(cfg)
+        labels_np = [np.asarray(padded_labels[i])[np.asarray(padded[i].valid)]
+                     for i in range(n_sys)]
+        system.process_scan(padded[0], gt_labels=labels_np[0])
+        t0 = time.perf_counter()
+        for i in range(1, n_sys):
+            system.process_scan(
+                padded[i], gt_labels=labels_np[i], timestamp=i * 0.1)
+        jax.block_until_ready(system.state.pose)
+        slam_sps = (n_sys - 1) / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover
+        slam_err += f"slam: {e}"
+
     result = {
         "metric": "scans_per_sec",
         "value": round(sps, 2),
@@ -127,7 +175,11 @@ def main():
             "n_scans": n_scans,
             "batched_scans_per_sec": round(sps_batched, 2),
             "batch": B,
+            "lio_scans_per_sec": round(lio_sps, 2),
+            "full_slam_scans_per_sec": round(slam_sps, 2),
+            "sys_scans": n_sys,
             "device": str(jax.devices()[0]),
+            **({"sys_err": slam_err} if slam_err else {}),
         },
     }
     print(json.dumps(result))

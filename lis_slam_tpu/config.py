@@ -69,6 +69,10 @@ class ImuConfig:
     """IMU noise + extrinsics (params.yaml "IMU Settings")."""
 
     use_imu: bool = False
+    # deskew source: "gyro" (laserProcessing IMU path, needs use_imu),
+    # "velocity" (dataPretreat alternate front-end: constant-velocity
+    # compensation from an ego-velocity stream, dataPretreatNode.cpp:184-253)
+    deskew_mode: str = "gyro"
     acc_noise: float = 3.9939570888238808e-03
     gyr_noise: float = 1.5636343949698187e-03
     acc_bias_noise: float = 6.4356659353532566e-05

@@ -15,6 +15,7 @@ imuAccBiasN/imuGyrBiasN, config/params.yaml:82-87).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -51,6 +52,7 @@ class ImuState(NamedTuple):
     ba: jnp.ndarray  # (3,) accel bias
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def preintegrate(
     imu_time: jnp.ndarray,  # (M,) seconds
     gyro: jnp.ndarray,  # (M, 3)
@@ -157,6 +159,7 @@ def _right_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     return jnp.eye(3) - a * W + b * (W @ W)
 
 
+@functools.partial(jax.jit, static_argnames=("gravity",))
 def predict(state: ImuState, pre: PreintegratedImu, gravity: float) -> ImuState:
     """Propagate the nav state through a preintegrated delta
     (gtsam ImuFactor predict; used for the next scan's initial guess)."""
@@ -196,6 +199,7 @@ def failure_detection(velocity: jnp.ndarray, bg: jnp.ndarray,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("gravity", "gain"))
 def velocity_bias_update(
     state: ImuState,
     pre: PreintegratedImu,

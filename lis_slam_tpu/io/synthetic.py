@@ -87,25 +87,30 @@ def hdl64_elevations() -> np.ndarray:
 
 def raycast(
     world: World,
-    origin: np.ndarray,  # (3,) sensor origin in world
+    origin: np.ndarray,  # (3,) or (N, 3) per-ray sensor origin in world
     directions: np.ndarray,  # (N, 3) unit rays in world frame
     max_range: float = 120.0,
 ):
-    """Vectorized ray vs (ground plane | boxes | poles). Returns (t, label)."""
+    """Vectorized ray vs (ground plane | boxes | poles). Returns (t, label).
+
+    Accepts per-ray origins so motion-distorted sweeps raycast from the
+    TRUE firing-time position (a single shared origin would make the
+    distorted scan geometrically inconsistent with the deskewed one)."""
     n = directions.shape[0]
+    origin = np.broadcast_to(np.asarray(origin, float).reshape(-1, 3), (n, 3))
     t_best = np.full(n, np.inf)
     label = np.zeros(n, dtype=np.int32)
 
     # ground plane z = ground_z
     dz = directions[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
-        t_g = (world.ground_z - origin[2]) / dz
+        t_g = (world.ground_z - origin[:, 2]) / dz
     hit_g = (dz < -1e-6) & (t_g > 0.5) & (t_g < max_range)
     t_best = np.where(hit_g, t_g, t_best)
     label = np.where(hit_g, LBL_ROAD, label)
 
     # boxes: slab method, batched over boxes
-    o = origin[None, None, :]  # (1,1,3)
+    o = origin[None, :, :]  # (1,N,3)
     d = directions[None, :, :]  # (1,N,3)
     lo = world.boxes[:, None, 0:3]
     hi = world.boxes[:, None, 3:6]
@@ -129,18 +134,18 @@ def raycast(
         cy = world.poles[:, None, 1]
         r = world.poles[:, None, 2]
         h = world.poles[:, None, 3]
-        ox, oy, oz = origin
+        ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
         dx = directions[None, :, 0]
         dy = directions[None, :, 1]
-        fx = ox - cx
-        fy = oy - cy
+        fx = ox[None, :] - cx
+        fy = oy[None, :] - cy
         a = dx * dx + dy * dy
         b = 2 * (fx * dx + fy * dy)
         c = fx * fx + fy * fy - r * r
         disc = b * b - 4 * a * c
         with np.errstate(invalid="ignore", divide="ignore"):
             tq = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a)
-        zhit = oz + tq * directions[None, :, 2]
+        zhit = oz[None, :] + tq * directions[None, :, 2]
         hit = (disc > 0) & (tq > 0.5) & (tq < max_range) & (zhit > 0) & (zhit < h)
         t_p = np.where(hit, tq, np.inf)
         pi = np.argmin(t_p, axis=0)
@@ -237,9 +242,8 @@ def render_scan(
         t_t = np.broadcast_to(T0[:3, 3], (len(dirs_sensor), 3))
 
     dirs_world = np.einsum("nij,nj->ni", R_t, dirs_sensor)
-    # raycast from per-point origins: approximate with single origin per scan
-    # for speed (translation within a sweep < 1 m; range error < 1%).
-    t_hit, labels = raycast(world, T0[:3, 3], dirs_world, max_range)
+    # raycast from the TRUE per-point (firing-time) origins
+    t_hit, labels = raycast(world, t_t, dirs_world, max_range)
     hit = np.isfinite(t_hit)
     t_hit = np.where(hit, t_hit, 0.0)
     pts_world = t_t + dirs_world * t_hit[:, None]

@@ -234,6 +234,16 @@ def global_icp(sig1: jnp.ndarray, sig2: jnp.ndarray, yaw_diff: jnp.ndarray):
     return R_total, ticp, yaw, ok
 
 
+@functools.partial(jax.jit, static_argnames=())
+def global_icp_batch(sigs1: jnp.ndarray, sig2: jnp.ndarray,
+                     yaw_diffs: jnp.ndarray):
+    """vmapped global_icp: C candidate signatures (C, 360, 4) against the
+    current keyframe's signature in ONE device call (the round-1 host loop
+    paid a separate jit dispatch per candidate)."""
+    return jax.vmap(lambda s1, yd: global_icp(s1, sig2, yd))(
+        sigs1, yaw_diffs)
+
+
 class LoopCandidate(NamedTuple):
     matched_id: int
     score: float
@@ -249,6 +259,7 @@ class LoopDetector:
         self.descs: list[Descriptors] = []
         self.poses: list[np.ndarray] = []  # (x, y, yaw)
         self.travel: list[float] = []
+        self._sig_db: np.ndarray | None = None  # (N, 360, 4) stacked
 
     def _select(self, d: Descriptors) -> jnp.ndarray:
         return {
@@ -275,23 +286,36 @@ class LoopDetector:
             self.travel.append(0.0)
 
         cur_id = len(self.poses)
-        cands = []
-        for i in range(cur_id):
-            delta_travel = self.travel[-1] - self.travel[i]
-            pos_dist = float(np.linalg.norm(pose_xyyaw[:2] - self.poses[i][:2]))
-            if (delta_travel > cfg.skip_neighbor_distance
-                    and pos_dist < delta_travel * cfg.inflation_covariance):
-                cands.append((pos_dist, i))
-        cands.sort()
-        cands = cands[: cfg.max_candidates]
+        # vectorized candidate gate (loopDetection :736-740)
+        if cur_id:
+            poses_np = np.asarray(self.poses)
+            travel_np = np.asarray(self.travel)
+            delta_travel = self.travel[-1] - travel_np[:cur_id]
+            pos_dist = np.linalg.norm(
+                pose_xyyaw[None, :2] - poses_np[:cur_id, :2], axis=1)
+            ok_gate = (delta_travel > cfg.skip_neighbor_distance) & (
+                pos_dist < delta_travel * cfg.inflation_covariance)
+            ids = np.nonzero(ok_gate)[0]
+            ids = ids[np.argsort(pos_dist[ids])][: cfg.max_candidates]
+        else:
+            ids = np.empty(0, np.int64)
 
         best: LoopCandidate | None = None
-        for _, i in cands:
-            yaw_diff = jnp.float32(pose_xyyaw[2] - self.poses[i][2])
-            R2, t2, yaw, ok = global_icp(
-                self.descs[i].signature, desc.signature, yaw_diff)
-            if not bool(ok):
+        if len(ids):
+            # ONE padded batched device call for all candidate alignments
+            pad = cfg.max_candidates - len(ids)
+            ids_p = np.concatenate([ids, np.repeat(ids[:1], pad)])
+            sigs = jnp.asarray(self._sig_db[ids_p])
+            yaw_diffs = jnp.asarray(
+                pose_xyyaw[2] - np.asarray(self.poses)[ids_p, 2],
+                dtype=jnp.float32)
+            R2s, t2s, yaws, oks = jax.tree_util.tree_map(
+                np.asarray,
+                global_icp_batch(sigs, desc.signature, yaw_diffs))
+        for j, i in enumerate(ids):
+            if not bool(oks[j]):
                 continue
+            R2, t2, yaw = R2s[j], t2s[j], jnp.float32(yaws[j])
             d_cur = recompute(np.asarray(R2), np.asarray(t2))
             if cfg.descriptor == DescriptorType.SSC:
                 score = float(label_similarity(
@@ -313,4 +337,7 @@ class LoopDetector:
 
         self.descs.append(desc)
         self.poses.append(np.asarray(pose_xyyaw, dtype=np.float64))
+        sig_np = np.asarray(desc.signature)[None]
+        self._sig_db = (sig_np if self._sig_db is None
+                        else np.concatenate([self._sig_db, sig_np]))
         return [best] if best is not None else []

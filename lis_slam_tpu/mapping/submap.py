@@ -54,6 +54,7 @@ class Keyframe:
     surf_xyz: jnp.ndarray
     surf_mask: jnp.ndarray
     submap_id: int = -1
+    timestamp: float = 0.0  # scan time (keyframe_t keeps the header stamp)
 
 
 @dataclass

@@ -80,13 +80,20 @@ def _knn_kernel(q_ref, ref_ref, aabb_ref, out_d_ref, out_i_ref, out_c_ref,
         # doubles as the shift mask. Mask plumbing in f32 — Mosaic cannot
         # concatenate i1 vectors.
         worse = (bd > m[:, None]).astype(jnp.float32)  # (QB, k)
-        prev_worse = jnp.concatenate(
-            [jnp.zeros((qb, 1), jnp.float32), worse[:, :-1]], axis=1)
+        if k == 1:
+            prev_worse = jnp.zeros((qb, 1), jnp.float32)
+        else:
+            prev_worse = jnp.concatenate(
+                [jnp.zeros((qb, 1), jnp.float32), worse[:, :-1]], axis=1)
         pos = worse * (1.0 - prev_worse)  # first worse slot
-        shifted_bd = jnp.concatenate(
-            [jnp.full((qb, 1), -_INF, jnp.float32), bd[:, :-1]], axis=1)
-        shifted_bi = jnp.concatenate(
-            [jnp.zeros((qb, 1), jnp.int32), bi[:, :-1]], axis=1)
+        if k == 1:  # zero-width slices are not Mosaic-legal
+            shifted_bd = jnp.full((qb, 1), -_INF, jnp.float32)
+            shifted_bi = jnp.zeros((qb, 1), jnp.int32)
+        else:
+            shifted_bd = jnp.concatenate(
+                [jnp.full((qb, 1), -_INF, jnp.float32), bd[:, :-1]], axis=1)
+            shifted_bi = jnp.concatenate(
+                [jnp.zeros((qb, 1), jnp.int32), bi[:, :-1]], axis=1)
         new_bd = jnp.where(worse > 0.5, shifted_bd, bd)
         new_bi = jnp.where(worse > 0.5, shifted_bi, bi)
         new_bd = jnp.where(pos > 0.5, m[:, None], new_bd)
@@ -94,14 +101,17 @@ def _knn_kernel(q_ref, ref_ref, aabb_ref, out_d_ref, out_i_ref, out_c_ref,
         # coords: same shift/insert per axis, bc is (QB, 3k) blocked by axis
         worse3 = jnp.concatenate([worse, worse, worse], axis=1)
         pos3 = jnp.concatenate([pos, pos, pos], axis=1)
-        shifted_bc = jnp.concatenate(
-            [
-                jnp.zeros((qb, 1), jnp.float32), bc[:, : k - 1],
-                jnp.zeros((qb, 1), jnp.float32), bc[:, k: 2 * k - 1],
-                jnp.zeros((qb, 1), jnp.float32), bc[:, 2 * k: 3 * k - 1],
-            ],
-            axis=1,
-        )
+        if k == 1:
+            shifted_bc = jnp.zeros((qb, 3), jnp.float32)
+        else:
+            shifted_bc = jnp.concatenate(
+                [
+                    jnp.zeros((qb, 1), jnp.float32), bc[:, : k - 1],
+                    jnp.zeros((qb, 1), jnp.float32), bc[:, k: 2 * k - 1],
+                    jnp.zeros((qb, 1), jnp.float32), bc[:, 2 * k: 3 * k - 1],
+                ],
+                axis=1,
+            )
         cvals = jnp.concatenate(
             [
                 jnp.broadcast_to(coords[:, 0:1], (qb, k)),

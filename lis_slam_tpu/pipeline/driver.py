@@ -34,8 +34,13 @@ class ReplayResult:
 def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
              imu_time: np.ndarray | None = None,
              imu_gyro: np.ndarray | None = None,
-             scan_start: float = 0.0) -> odometry.ScanInput:
-    """Pad a raw (P, 4) host cloud to the fixed scan buffer."""
+             scan_start: float = 0.0,
+             velocity: np.ndarray | None = None,
+             angular_rate: np.ndarray | None = None) -> odometry.ScanInput:
+    """Pad a raw (P, 4) host cloud to the fixed scan buffer.
+
+    `velocity`/`angular_rate`: body-frame ego motion at scan time for the
+    dataPretreat front-end (cfg.imu.deskew_mode == "velocity")."""
     p = cfg.sensor.max_raw_points
     m = cfg.imu.max_imu_per_scan
     pts = np.zeros((p, 4), np.float32)
@@ -51,6 +56,7 @@ def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
         it[:k] = imu_time[:k]
         ig[:k] = imu_gyro[:k]
         iv[:k] = True
+    has_vel = velocity is not None
     return odometry.ScanInput(
         points=jnp.asarray(pts),
         valid=jnp.asarray(val),
@@ -58,6 +64,12 @@ def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
         imu_gyro=jnp.asarray(ig),
         imu_valid=jnp.asarray(iv),
         scan_start=jnp.float32(scan_start),
+        vel=jnp.asarray(np.asarray(velocity, np.float32) if has_vel
+                        else np.zeros(3, np.float32)),
+        ang_rate=jnp.asarray(
+            np.asarray(angular_rate, np.float32)
+            if angular_rate is not None else np.zeros(3, np.float32)),
+        vel_valid=jnp.bool_(has_vel),
     )
 
 

@@ -16,10 +16,38 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
+import functools
+
+import jax
+
 from ..config import SlamConfig
 from ..imu import preintegration as pi
 from ..utils import se3
 from . import odometry
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _lio_prestep(imu_time, gyro, accel, valid, imu_state, cfg):
+    """ONE device program for the pre-odometry IMU chain: extrinsic
+    rotation, preintegration, state prediction, initial-guess assembly.
+    (Eager op-by-op dispatch costs ~5-10 ms per op through a tunneled TPU.)
+    cfg is the full SlamConfig (hashable)."""
+    g_j, a_j = pi.imu_to_lidar(gyro, accel, cfg.imu)
+    pre = pi.preintegrate(
+        imu_time, g_j, a_j, valid, imu_state.bg, imu_state.ba, cfg.imu)
+    pred = pi.predict(imu_state, pre, cfg.imu.gravity)
+    guess = jnp.concatenate(
+        [se3.rot_to_euler(pred.R), pred.p]).astype(jnp.float32)
+    return pre, guess, g_j
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _lio_poststep(imu_state, pre, last_pose6, pose6, cfg):
+    """Bias/velocity refresh + failure flag in one device program."""
+    new_state = pi.velocity_bias_update(
+        imu_state, pre, last_pose6, pose6, cfg.imu.gravity)
+    fail = pi.failure_detection(new_state.v, new_state.bg, new_state.ba)
+    return new_state, fail
 
 
 @dataclass
@@ -60,42 +88,43 @@ class LioOdometry:
         imu_accel: np.ndarray,  # (M, 3)
         scan_start: float,
         imu_rpy: np.ndarray | None = None,  # (3,) orientation at scan start
+        failure_check_every: int = 10,
     ) -> np.ndarray:
+        """Returns the pose6 as a DEVICE array: the whole IMU+odometry chain
+        stays on-device with zero per-scan host readbacks (a blocking D2H
+        sync costs ~50 ms through a tunneled TPU; the reference's node graph
+        likewise never blocks its odometry thread on consumers). Failure
+        detection — the only host branch — runs every `failure_check_every`
+        scans. Call np.asarray on the result to materialize it."""
         cfg = self.cfg
         from . import driver
 
-        # rotate raw IMU into the lidar frame (imuConverter, utility.h:482-517)
-        if len(imu_time):
-            g_j, a_j = pi.imu_to_lidar(
-                jnp.asarray(imu_gyro, jnp.float32),
-                jnp.asarray(imu_accel, jnp.float32), cfg.imu)
-            imu_gyro = np.asarray(g_j)
-            imu_accel = np.asarray(a_j)
+        # --- pad the IMU window host-side (numpy, cheap), ONE prestep jit ---
+        m = cfg.imu.max_imu_per_scan
+        k = min(len(imu_time), m)
+        it = np.zeros(m, np.float32)
+        ig = np.zeros((m, 3), np.float32)
+        ia = np.zeros((m, 3), np.float32)
+        ia[:, 2] = cfg.imu.gravity  # neutral accel for padded slots
+        it[:k] = imu_time[:k]
+        ig[:k] = imu_gyro[:k]
+        ia[:k] = imu_accel[:k]
+        iv = np.arange(m) < k
 
-        # --- preintegrate the inter-scan window for the initial guess ---
-        init_guess = None
-        if self._last_pose6 is not None and len(imu_time) >= 2:
-            pre = pi.preintegrate(
-                jnp.asarray(imu_time, jnp.float32),
-                jnp.asarray(imu_gyro, jnp.float32),
-                jnp.asarray(imu_accel, jnp.float32),
-                jnp.ones(len(imu_time), bool),
-                self.imu_state.bg, self.imu_state.ba, cfg.imu,
-            )
-            pred = pi.predict(self.imu_state, pre, cfg.imu.gravity)
-            rpy = se3.rot_to_euler(pred.R)
-            init_guess = np.concatenate(
-                [np.asarray(rpy), np.asarray(pred.p)]).astype(np.float32)
-        else:
-            pre = None
+        pre = guess = g_buf = None
+        if k >= 2:
+            pre, guess, g_buf = _lio_prestep(
+                jnp.asarray(it), jnp.asarray(ig), jnp.asarray(ia),
+                jnp.asarray(iv), self.imu_state, cfg)
 
-        sin = driver.pad_scan(
-            points, cfg,
-            imu_time=imu_time, imu_gyro=imu_gyro, scan_start=scan_start,
-        )
+        sin = driver.pad_scan(points, cfg, scan_start=scan_start)
         extra = {}
-        if init_guess is not None:
-            extra["init_guess"] = jnp.asarray(init_guess)
+        if g_buf is not None:
+            extra["imu_time"] = jnp.asarray(it)
+            extra["imu_gyro"] = g_buf
+            extra["imu_valid"] = jnp.asarray(iv)
+        if guess is not None and self._last_pose6 is not None:
+            extra["init_guess"] = guess
             extra["init_guess_valid"] = jnp.bool_(True)
         if imu_rpy is not None:
             extra["imu_rpy"] = jnp.asarray(imu_rpy, jnp.float32)
@@ -104,23 +133,20 @@ class LioOdometry:
             sin = sin._replace(**extra)
 
         self.state, out = odometry.odom_step(self.state, sin, cfg)
-        pose6 = np.asarray(out.pose)
+        pose6 = out.pose  # device array; no readback
 
         # --- velocity/bias refresh from the lidar pose pair ---
         if pre is not None and self._last_pose6 is not None:
-            self.imu_state = pi.velocity_bias_update(
+            self.imu_state, fail = _lio_poststep(
                 self.imu_state, pre,
-                jnp.asarray(self._last_pose6, jnp.float32),
-                jnp.asarray(pose6, jnp.float32),
-                cfg.imu.gravity,
-            )
-            if bool(pi.failure_detection(
-                    self.imu_state.v, self.imu_state.bg, self.imu_state.ba)):
+                jnp.asarray(self._last_pose6, jnp.float32), pose6, cfg)
+            if (self.diag.n_scans % failure_check_every == 0
+                    and bool(fail)):
                 self._reset_imu()
         else:
             self.imu_state = self.imu_state._replace(
-                R=se3.euler_to_rot(jnp.asarray(pose6[:3])),
-                p=jnp.asarray(pose6[3:]),
+                R=se3.euler_to_rot(pose6[:3]),
+                p=pose6[3:],
             )
         self._last_pose6 = pose6
         self.diag.n_scans += 1

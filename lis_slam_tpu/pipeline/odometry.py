@@ -103,12 +103,30 @@ class ScanInput(NamedTuple):
     # (transformUpdate, odomEstimationNode.cpp:976-1006)
     imu_rpy: jnp.ndarray = jnp.zeros(3)
     imu_rpy_valid: jnp.ndarray = jnp.bool_(False)
+    # body velocity + angular rate at scan time for the dataPretreat
+    # alternate front-end (distortionAdjust.cpp:412-480) — used when
+    # cfg.imu.deskew_mode == "velocity"
+    vel: jnp.ndarray = jnp.zeros(3)
+    ang_rate: jnp.ndarray = jnp.zeros(3)
+    vel_valid: jnp.ndarray = jnp.bool_(False)
 
 
 def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
-    """Pretreatment -> deskew -> projection -> extraction -> features."""
+    """Pretreatment -> deskew -> projection -> extraction -> features.
+
+    Deskew source follows cfg.imu.deskew_mode: "gyro" (laserProcessing
+    IMU-rotation path) when use_imu, "velocity" (the dataPretreat
+    constant-velocity alternate front-end, dataPretreatNode.cpp:184-253),
+    or none."""
     pre = pretreatment.pretreat(scan.points, scan.valid, cfg.sensor)
-    if cfg.imu.use_imu:
+    if cfg.imu.deskew_mode == "velocity":
+        from ..ops import velocity_deskew as vd
+
+        pts = vd.velocity_deskew(
+            pre.points[:, :3], pre.rel_time, scan.ang_rate, scan.vel,
+            pre.valid & scan.vel_valid,
+        )
+    elif cfg.imu.use_imu:
         info = deskew_ops.integrate_gyro(
             scan.imu_time, scan.imu_gyro, scan.imu_valid, scan.scan_start
         )

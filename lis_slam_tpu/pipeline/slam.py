@@ -54,8 +54,23 @@ class SlamResult:
 class SemanticSlam:
     """Host-orchestrated full pipeline (config 4 of BASELINE.json)."""
 
-    def __init__(self, cfg: SlamConfig, rangenet_params=None):
+    def __init__(self, cfg: SlamConfig, rangenet_params=None,
+                 pose_hook=None, debug_dir: str | None = None):
+        """`pose_hook(pose6, scan_idx) -> pose6`: optional transform applied
+        to the front-end pose before the back-end consumes it — the seam for
+        replaying with degraded odometry (drift-injection tests, external
+        odometry sources).
+
+        `debug_dir`: when set, dump the reference's rviz debug surface as
+        files — per-keyframe descriptor images, loop-constraint markers,
+        stage clouds (viz/debug.py)."""
         self.cfg = cfg
+        self.pose_hook = pose_hook
+        self.debug = None
+        if debug_dir is not None:
+            from ..viz.debug import DebugDumper
+
+            self.debug = DebugDumper(debug_dir)
         self.state = odometry.init_state(cfg)
         self.loop_detector = epsc.LoopDetector(cfg.loop)
         self.collector = sm.SubMapCollector(cfg.submap)
@@ -89,6 +104,8 @@ class SemanticSlam:
                     pass  # no checkpoint shipped/available: labels must be fed
 
         self.scan_poses: list[np.ndarray] = []  # per-scan odometry pose6
+        self._gps_queue: list[tuple] = []  # (t, pos, cov) awaiting a submap
+        self._scan_time = 0.0
         self.keyframes: list[sm.Keyframe] = []
         self.kf_scan_ids: list[int] = []
         self.kf_desc_inputs: list = []
@@ -108,17 +125,27 @@ class SemanticSlam:
 
     # ------------------------------------------------------------------
     def process_scan(self, scan: odometry.ScanInput,
-                     gt_labels: np.ndarray | None = None) -> np.ndarray:
+                     gt_labels: np.ndarray | None = None,
+                     timestamp: float | None = None) -> np.ndarray:
         """Feed one scan; returns the current odometry pose6.
+
+        `timestamp`: scan header time in seconds (defaults to
+        scan_idx * scan_period), used for GPS time-matching.
 
         Labels for the semantic stages come from `gt_labels` when provided
         (synthetic ground truth / an external segmentation stream), else
         from on-device RangeNet inference at keyframe rate
         (semanticFusionNode.cpp:139-170)."""
+        self._scan_time = (timestamp if timestamp is not None
+                           else self._scan_idx * self.cfg.sensor.scan_period)
         self.state, out = odometry.odom_step(self.state, scan, self.cfg)
-        pose6 = np.asarray(out.pose)
+        # ONE host readback for both values (each blocking D2H costs ~50 ms
+        # on a tunneled TPU)
+        pose6, is_kf = jax.device_get((out.pose, out.is_keyframe))
+        if self.pose_hook is not None:
+            pose6 = np.asarray(self.pose_hook(pose6, self._scan_idx))
         self.scan_poses.append(pose6)
-        if bool(out.is_keyframe):
+        if bool(is_kf):
             labels = gt_labels
             if labels is None and self.infer is not None:
                 lab_raw, _sem = self.infer(scan.points, scan.valid)
@@ -183,6 +210,7 @@ class SemanticSlam:
             index=len(self.keyframes),
             pose_init=T,
             pose_opt=T.copy(),
+            timestamp=self._scan_time,
             clouds=sm.ClassClouds(
                 xyz=jnp.zeros((5, 8, 3)), mask=jnp.zeros((5, 8), bool)
             ),
@@ -215,6 +243,10 @@ class SemanticSlam:
                     cfg.loop,
                 )
 
+            if self.debug is not None:
+                self.debug.dump_descriptor(
+                    kf.index, cfg.loop.descriptor.value,
+                    np.asarray(self.loop_detector._select(desc)))
             rpy = pose6[:3]
             cands = self.loop_detector.add_and_detect(
                 desc, np.array([pose6[3], pose6[4], rpy[2]]), recompute
@@ -270,6 +302,10 @@ class SemanticSlam:
             self.loops.append(
                 (kf.index, cand.matched_id, T_kf_world, fit)
             )
+            if self.debug is not None:
+                self.debug.add_loop_edge(
+                    kf.index, cand.matched_id, kf.pose_init[:3, 3],
+                    match_kf.pose_init[:3, 3], fit)
 
     # ------------------------------------------------------------------
     def _register_submaps(self, prev: sm.SubMap, cur: sm.SubMap) -> np.ndarray:
@@ -317,6 +353,7 @@ class SemanticSlam:
         gb = self.graph
         idx = gb.add_node(finished.pose_init)
         assert idx == finished.index
+        self._drain_gps()  # fixes whose interval this submap now covers
         if idx > 0:
             prev = self.collector.submaps[idx - 1]
             z = self._register_submaps(prev, finished)
@@ -348,14 +385,24 @@ class SemanticSlam:
                 s.pose_opt = opt[k]
 
     # ------------------------------------------------------------------
-    def add_gps(self, position_xyz: np.ndarray, cov_xyz: np.ndarray):
+    def add_gps(self, position_xyz: np.ndarray, cov_xyz: np.ndarray,
+                timestamp: float | None = None):
         """Ingest a GPS fix (addGPSFactor, subMapOptmizationNode.cpp:4217-
-        4301): gated on covariance, attached as a position prior to the most
-        recent submap node (elevation optionally ignored via a large z
-        sigma, matching useGpsElevation=false)."""
+        4301): gated on covariance. With a `timestamp`, the fix is buffered
+        and attached to the submap whose keyframe interval contains it (the
+        reference time-matches fixes to keyframes within 0.2 s,
+        :4230-4243); without one it attaches to the most recent submap
+        (degraded legacy behavior). Elevation is de-weighted by the caller
+        passing a large z covariance (useGpsElevation=false)."""
         cfg = self.cfg
         if float(np.max(cov_xyz[:2])) > cfg.graph.gps_cov_threshold:
             return False
+        if timestamp is not None:
+            self._gps_queue.append(
+                (float(timestamp), np.asarray(position_xyz, np.float64),
+                 np.asarray(cov_xyz, np.float64)))
+            self._drain_gps()
+            return True
         if not self.collector.submaps:
             return False
         node = self.collector.submaps[-1].index
@@ -363,6 +410,38 @@ class SemanticSlam:
         T[:3, 3] = position_xyz
         self.graph.add_gps_prior(node, T, np.sqrt(np.maximum(cov_xyz, 1e-6)))
         return True
+
+    def _drain_gps(self):
+        """Attach buffered fixes to the submap containing their timestamp.
+
+        The graph node is the submap base pose, so the fix (which measures
+        the position at the matched KEYFRAME's time) is pulled back through
+        the keyframe's relative pose within the submap."""
+        if not self.collector.submaps:
+            return
+        remaining = []
+        for (t, pos, cov) in self._gps_queue:
+            matched = None
+            for s in self.collector.submaps:
+                ts = [self.keyframes[k].timestamp for k in s.kf_indices]
+                if ts and min(ts) - 0.1 <= t <= max(ts) + 0.1:
+                    j = int(np.argmin(np.abs(np.asarray(ts) - t)))
+                    matched = (s, s.kf_rel_poses[j])
+                    break
+            if matched is None:
+                last_kf_t = (self.keyframes[-1].timestamp
+                             if self.keyframes else -np.inf)
+                if t > last_kf_t:
+                    remaining.append((t, pos, cov))  # future submap
+                continue
+            s, rel = matched
+            # implied submap-base position: p_gps - R_submap @ rel_t
+            R = s.pose_init[:3, :3]
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = pos - R @ rel[:3, 3]
+            self.graph.add_gps_prior(
+                s.index, T, np.sqrt(np.maximum(cov, 1e-6)))
+        self._gps_queue = remaining
 
     # ------------------------------------------------------------------
     def finish(self, build_map: bool = False) -> SlamResult:
@@ -412,6 +491,13 @@ class SemanticSlam:
                 pts.append(np.concatenate(
                     [p, np.zeros((len(p), 1), np.float32)], 1))
             global_map = np.concatenate(pts) if pts else None
+
+        if self.debug is not None:
+            self.debug.flush_loop_markers()
+            if global_map is not None:
+                self.debug.dump_cloud(
+                    "global_map", global_map[:, :3],
+                    global_map[:, 3].astype(np.int32))
 
         return SlamResult(
             poses=corrected,

@@ -120,8 +120,9 @@ def main():
     model, tx0, _ = seg_train.create_train_state(key, sem, input_w=CROP_W)
     import optax
 
+    warmup = min(100, max(args.steps // 5, 1))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 100, args.steps, args.lr * 0.02)
+        0.0, args.lr, warmup, args.steps, args.lr * 0.02)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     model, variables = rangenet.init_params(key, sem, input_w=CROP_W)
     state = seg_train.TrainState(

@@ -146,3 +146,102 @@ def test_imu_to_lidar_extrinsics():
     g2, a2 = pi.imu_to_lidar(jnp.asarray(g), jnp.asarray(a), cfg)
     np.testing.assert_allclose(np.asarray(g2), g @ R.T, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a2), a @ R.T, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_closed_form_bias_refresh_vs_batch_solve():
+    """Quantify the documented iSAM2 deviation (VERDICT round-1 item 10):
+    on a long noisy run with a constant true gyro bias, the per-window
+    closed-form refresh (pipeline/lio.py) must converge to the same bias a
+    BATCH preintegration-factor least-squares solve recovers, and its
+    remaining error must be within 2x of the batch optimum."""
+    from lis_slam_tpu.utils import se3
+
+    rng = np.random.default_rng(4)
+    cfg = ImuConfig(use_imu=True)
+    bg_true = np.array([0.02, -0.015, 0.01])
+    n_windows = 200
+    hz, per_win = 100.0, 10
+
+    # trajectory: smooth varying angular velocity + accelerations
+    def omega(t):
+        return np.array([0.3 * np.sin(0.5 * t), 0.2 * np.cos(0.3 * t),
+                         0.4 * np.sin(0.2 * t + 1.0)])
+
+    R = np.eye(3)
+    t_abs = 0.0
+    Rs = [R.copy()]
+    win_data = []
+    for w in range(n_windows):
+        times, gyros, accels = [], [], []
+        for k in range(per_win + 1):
+            times.append(t_abs + k / hz)
+            wv = omega(t_abs + k / hz)
+            gyros.append(wv + bg_true + rng.normal(0, 1e-3, 3))
+            accels.append(np.array([0, 0, 9.80511]) + rng.normal(0, 1e-2, 3))
+        # integrate true rotation over the window
+        Rw = R.copy()
+        for k in range(1, per_win + 1):
+            Rw = Rw @ Rotation.from_rotvec(
+                omega(times[k - 1]) / hz).as_matrix()
+        R = Rw
+        t_abs += per_win / hz
+        Rs.append(R.copy())
+        win_data.append((np.asarray(times), np.asarray(gyros),
+                         np.asarray(accels)))
+
+    # noisy "lidar" orientations (0.002 rad)
+    Rs_meas = [
+        Rot.as_matrix() for Rot in
+        (Rotation.from_matrix(Rm) * Rotation.from_rotvec(
+            rng.normal(0, 0.002, 3)) for Rm in Rs)
+    ]
+
+    # ---- preintegrate all windows at zero bias ----
+    pres = []
+    for (times, gyros, accels) in win_data:
+        pres.append(pi.preintegrate(
+            jnp.asarray(times, jnp.float32), jnp.asarray(gyros, jnp.float32),
+            jnp.asarray(accels, jnp.float32), jnp.ones(len(times), bool),
+            jnp.zeros(3), jnp.zeros(3), cfg))
+
+    # ---- batch LSQ for the (constant) gyro bias over ALL windows ----
+    JT_J = np.zeros((3, 3))
+    JT_r = np.zeros(3)
+    for w, pre in enumerate(pres):
+        dR_obs = Rs_meas[w].T @ Rs_meas[w + 1]
+        res = np.asarray(se3.so3_log(jnp.asarray(
+            np.asarray(pre.delta_R).T @ dR_obs, dtype=jnp.float32)))
+        J = np.asarray(pre.dR_dbg)  # d(log residual)/d(bias), first order
+        JT_J += J.T @ J
+        JT_r += J.T @ res
+    bg_batch = np.linalg.solve(JT_J + 1e-9 * np.eye(3), JT_r)
+
+    # ---- closed-form per-window refresh (the production path) ----
+    state = pi.ImuState(R=jnp.asarray(Rs_meas[0], jnp.float32),
+                        v=jnp.zeros(3), p=jnp.zeros(3),
+                        bg=jnp.zeros(3), ba=jnp.zeros(3))
+    for w, pre in enumerate(pres):
+        # re-preintegrate at the current bias estimate (what LIO does)
+        times, gyros, accels = win_data[w]
+        pre_b = pi.preintegrate(
+            jnp.asarray(times, jnp.float32), jnp.asarray(gyros, jnp.float32),
+            jnp.asarray(accels, jnp.float32), jnp.ones(len(times), bool),
+            state.bg, state.ba, cfg)
+        pose_prev = np.concatenate([
+            Rotation.from_matrix(Rs_meas[w]).as_euler("xyz"), np.zeros(3)])
+        pose_new = np.concatenate([
+            Rotation.from_matrix(Rs_meas[w + 1]).as_euler("xyz"), np.zeros(3)])
+        state = pi.velocity_bias_update(
+            state, pre_b, jnp.asarray(pose_prev, jnp.float32),
+            jnp.asarray(pose_new, jnp.float32), cfg.gravity)
+    bg_closed = np.asarray(state.bg)
+
+    err_batch = np.linalg.norm(bg_batch - bg_true)
+    err_closed = np.linalg.norm(bg_closed - bg_true)
+    # batch solve must itself be good (sanity of the harness)
+    assert err_batch < 0.004, f"batch bias err {err_batch:.4f}"
+    # closed-form refresh converges to the same answer, bounded deviation
+    assert err_closed < 2.0 * err_batch + 0.004, (
+        f"closed-form {bg_closed} vs batch {bg_batch} vs true {bg_true}"
+    )

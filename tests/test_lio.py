@@ -89,3 +89,68 @@ def test_lio_tracks_with_distorted_scans():
         assert system.diag.n_resets == 0
     finally:
         syn.hdl64_elevations = orig
+
+
+@pytest.mark.slow
+def test_data_pretreat_velocity_frontend():
+    """Component #8 (dataPretreatNode): the velocity-deskew alternate
+    front-end, wired end-to-end. Motion-distorted scans + an ego-velocity
+    stream (no IMU orientation): odometry with velocity deskew must beat
+    the same pipeline with deskew disabled."""
+    import lis_slam_tpu.io.synthetic as syn
+    from scipy.spatial.transform import Rotation
+
+    from lis_slam_tpu.pipeline import driver, odometry
+
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        rng = np.random.default_rng(9)
+        boxes, labels = [], []
+        for k in range(14):
+            ang = 2 * np.pi * k / 14
+            cx, cy = 26.0 * np.cos(ang), 10.0 + 26.0 * np.sin(ang)
+            w, d, h = rng.uniform(5, 9), rng.uniform(5, 9), rng.uniform(5, 14)
+            boxes.append([cx - w / 2, cy - d / 2, 0,
+                          cx + w / 2, cy + d / 2, h])
+            labels.append(synthetic.LBL_BUILDING)
+        poles = [[r * np.cos(a), 10.0 + r * np.sin(a), 0.15, 5.0]
+                 for a, r in zip(np.linspace(0, 2 * np.pi, 24, endpoint=False),
+                                 rng.uniform(15, 20, 24))]
+        world = synthetic.World(
+            boxes=np.asarray(boxes), box_labels=np.asarray(labels, np.int32),
+            poles=np.asarray(poles))
+        n = 16
+        # fast circuit so distortion is significant (~0.9 m per sweep)
+        gt = synthetic.circular_trajectory(n + 1, radius=10.0, speed=9.0)
+        scans = [synthetic.render_scan(world, gt[i], gt[i + 1], n_scan=16,
+                                       horizon=900, seed=800 + i,
+                                       max_range=90.0) for i in range(n)]
+
+        def run(mode):
+            cfg = tiny_cfg()
+            cfg = cfg.replace(
+                imu=dataclasses.replace(
+                    ImuConfig(), use_imu=False, deskew_mode=mode))
+            state = odometry.init_state(cfg)
+            poses = []
+            for i, s in enumerate(scans):
+                # body-frame ego motion from consecutive gt poses (the
+                # dataPretreat node syncs a GPS-velocity stream the same way)
+                R0 = Rotation.from_euler("xyz", gt[i][:3]).as_matrix()
+                vel = R0.T @ (gt[i + 1][3:] - gt[i][3:]) / 0.1
+                sin = driver.pad_scan(
+                    s.points[s.valid], cfg,
+                    velocity=vel, angular_rate=s.gyro[0])
+                state, out = odometry.odom_step(state, sin, cfg)
+                poses.append(np.asarray(out.pose))
+            gt_rel = trajectory.relative_to_first(gt[:n])
+            return trajectory.ate_rmse(np.asarray(poses), gt_rel, align=False)
+
+        ate_vel = run("velocity")
+        ate_none = run("none")
+        assert ate_vel < 0.35, f"velocity front-end ATE {ate_vel:.3f}"
+        assert ate_vel < 0.8 * ate_none, (
+            f"deskew did not help: {ate_vel:.3f} vs {ate_none:.3f}")
+    finally:
+        syn.hdl64_elevations = orig

@@ -247,3 +247,81 @@ def test_slam_gps_ingestion():
     # good fix -> accepted as a prior
     assert system.add_gps(np.asarray([1.0, 2.0, 0.0]), np.full(3, 0.1))
     assert len(system.graph.priors) == 2  # anchor + gps
+
+
+@pytest.mark.slow
+def test_gps_priors_reduce_drift_end_to_end():
+    """Pipeline-level GPS proof (addGPSFactor parity): time-matched fixes
+    must pull a drifting trajectory back toward ground truth."""
+    import dataclasses
+
+    from lis_slam_tpu.golden import replica as _rep
+    from tests.test_slam_pipeline import tiny_cfg
+    import lis_slam_tpu.io.synthetic as syn
+    from lis_slam_tpu.io import synthetic
+    from lis_slam_tpu.pipeline import driver, slam, trajectory
+
+    # rebuild the tiny circuit (can't reuse the fixture object here)
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        rng = np.random.default_rng(9)
+        boxes, labels = [], []
+        for k in range(14):
+            ang = 2 * np.pi * k / 14
+            cx, cy = 26.0 * np.cos(ang), 10.0 + 26.0 * np.sin(ang)
+            w, d, h = rng.uniform(5, 9), rng.uniform(5, 9), rng.uniform(5, 14)
+            boxes.append([cx - w / 2, cy - d / 2, 0, cx + w / 2, cy + d / 2, h])
+            labels.append(synthetic.LBL_BUILDING)
+        poles = [[r * np.cos(a), 10.0 + r * np.sin(a), 0.15, 5.0]
+                 for a, r in zip(np.linspace(0, 2 * np.pi, 24, endpoint=False),
+                                 rng.uniform(15, 20, 24))]
+        world = synthetic.World(
+            boxes=np.asarray(boxes), box_labels=np.asarray(labels, np.int32),
+            poles=np.asarray(poles))
+        n = 60
+        gt = synthetic.circular_trajectory(n + 1, radius=10.0, speed=6.3)
+        scans = [synthetic.render_scan(world, gt[i], None, n_scan=16,
+                                       horizon=900, seed=500 + i,
+                                       max_range=90.0) for i in range(n)]
+    finally:
+        syn.hdl64_elevations = orig
+
+    from lis_slam_tpu.config import GraphConfig as _GC
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        loop=dataclasses.replace(cfg.loop, enabled=False),
+        # GPS-aided noise model: the injected drift is far above the
+        # default odometry sigmas, so loosen them the way a GPS-aided
+        # deployment would (the reference's noise models are params too)
+        graph=dataclasses.replace(
+            cfg.graph, odom_rot_sigma=1e-2, odom_trans_sigma=1e-1),
+    )
+
+    def drift_hook(pose6, idx):
+        th = 0.002 * idx
+        c, s = np.cos(th), np.sin(th)
+        Td = np.eye(4)
+        Td[:2, :2] = [[c, -s], [s, c]]
+        return _rep.matrix_to_pose(Td @ _rep.pose_to_matrix(pose6))
+
+    gt_rel = trajectory.relative_to_first(gt[:n])
+
+    def run(with_gps):
+        system = slam.SemanticSlam(cfg, pose_hook=drift_hook)
+        for i, s in enumerate(scans):
+            sin = driver.pad_scan(s.points[s.valid], cfg)
+            system.process_scan(sin, timestamp=i * 0.1)
+            if with_gps and i % 5 == 0:
+                # fix at the true position, 0.3 m sigma, time-stamped
+                system.add_gps(gt_rel[i, 3:] + np.random.default_rng(i).normal(0, 0.05, 3),
+                               np.full(3, 0.01), timestamp=i * 0.1)
+        res = system.finish()
+        return trajectory.ate_rmse(res.poses, gt_rel, align=False)
+
+    ate_plain = run(False)
+    ate_gps = run(True)
+    assert ate_plain > 0.3, f"drift too weak for the test: {ate_plain:.3f}"
+    assert ate_gps < 0.7 * ate_plain, (
+        f"GPS priors ineffective: {ate_gps:.3f} vs {ate_plain:.3f}")

@@ -130,3 +130,48 @@ def test_trajectory_export(sequence, tmp_path):
     system.save_trajectory(str(p))
     rows = np.loadtxt(p)
     assert rows.shape == (12, 12)
+
+
+@pytest.mark.slow
+def test_loop_closure_corrects_injected_drift(sequence):
+    """End-to-end loop-closure proof (VERDICT round-1 item 6): replay the
+    circuit with progressively drifting odometry (pose_hook seam); the
+    pipeline must DETECT at least one loop and the graph correction must
+    recover most of the injected error (corrected ATE < 0.7x raw)."""
+    scans, gt = sequence
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        loop=dataclasses.replace(
+            cfg.loop,
+            # the reference gates candidates at 1% of travel
+            # (INFLATION_COVARIANCE, epscGeneration.h:9-11); the injected
+            # drift is ~3% of travel, so widen the gate accordingly
+            inflation_covariance=0.08,
+        ),
+    )
+
+    from lis_slam_tpu.golden import replica as _rep
+
+    def drift_hook(pose6, idx):
+        # growing yaw error about the world origin: ~0.0015 rad/scan
+        th = 0.0015 * idx
+        c, s = np.cos(th), np.sin(th)
+        Td = np.eye(4)
+        Td[:2, :2] = [[c, -s], [s, c]]
+        return _rep.matrix_to_pose(Td @ _rep.pose_to_matrix(pose6))
+
+    system = slam.SemanticSlam(cfg, pose_hook=drift_hook)
+    for s in scans:
+        sin = driver.pad_scan(s.points[s.valid], cfg)
+        system.process_scan(sin, gt_labels=s.labels[s.valid])
+    res = system.finish()
+
+    n = len(scans)
+    gt_rel = trajectory.relative_to_first(gt[:n])
+    ate_raw = trajectory.ate_rmse(res.raw_poses, gt_rel, align=False)
+    ate_corr = trajectory.ate_rmse(res.poses, gt_rel, align=False)
+    assert ate_raw > 0.5, f"drift injection too weak: raw ATE {ate_raw:.3f}"
+    assert res.n_loops > 0, "no loop closure detected on a revisited circuit"
+    assert ate_corr < 0.7 * ate_raw, (
+        f"correction too weak: corrected {ate_corr:.3f} vs raw {ate_raw:.3f}"
+    )
