@@ -273,11 +273,15 @@ class LoopDetector:
         }[self.cfg.descriptor]
 
     def add_and_detect(self, desc: Descriptors, pose_xyyaw: np.ndarray,
-                       recompute) -> list[LoopCandidate]:
+                       recompute,
+                       signature_np: np.ndarray | None = None,
+                       ) -> list[LoopCandidate]:
         """desc: descriptors of the current keyframe (sensor frame).
         recompute(R2, t2): callback -> Descriptors of the current cloud
         transformed by the candidate alignment (the reference recomputes
-        descriptors on the transformed cloud)."""
+        descriptors on the transformed cloud). `signature_np`: the already
+        host-materialized signature (saves a ~50 ms readback on tunneled
+        devices)."""
         cfg = self.cfg
         if self.travel:
             step_d = float(np.linalg.norm(pose_xyyaw[:2] - self.poses[-1][:2]))
@@ -337,7 +341,8 @@ class LoopDetector:
 
         self.descs.append(desc)
         self.poses.append(np.asarray(pose_xyyaw, dtype=np.float64))
-        sig_np = np.asarray(desc.signature)[None]
+        sig_np = (np.asarray(desc.signature)
+                  if signature_np is None else signature_np)[None]
         self._sig_db = (sig_np if self._sig_db is None
                         else np.concatenate([self._sig_db, sig_np]))
         return [best] if best is not None else []

@@ -24,6 +24,7 @@ host-driven jitted calls, mirroring the reference's thread structure
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -37,8 +38,37 @@ from ..mapping import submap as sm
 from ..ops import icp as icp_ops
 from ..ops import knn, scan_match
 from ..semantic import fusion
-from ..utils import se3
-from . import odometry, trajectory
+from ..utils import se3, se3_np
+from . import odometry, semantic_odometry as semo, trajectory
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_labels"))
+def _keyframe_device_work(scan, lab_raw, guess, sem_state, cfg,
+                          with_labels: bool):
+    """ALL keyframe-rate device work in ONE program: feature re-extraction,
+    semantic scan assembly, semantic-weighted refinement against the sliding
+    local map (SubMapOdometryNode stage 1), per-feature label lookup, and
+    EPSC-family descriptors. The host then performs ONE readback — every
+    separate eager dispatch + sync costs 5-50 ms on a tunneled TPU."""
+    fc = odometry.preprocess(scan, cfg)
+    if with_labels:
+        sscan = semo.build_semantic_scan(scan, lab_raw, cfg)
+        new_sem_state, refined, _gn = semo.refine_step(
+            sem_state, sscan, guess, cfg)
+        h = knn.build_hash(scan.points[:, :3], scan.valid, cell_size=1.0,
+                           table_size=1 << 15)
+        _, idx = knn.knn_hash(fc.surf_xyz, h, k=1)
+        lab_surf = lab_raw[idx[:, 0]].astype(jnp.int32)
+    else:
+        new_sem_state = sem_state
+        refined = guess
+        lab_surf = jnp.zeros(fc.surf_xyz.shape[0], jnp.int32)
+    desc = epsc.compute_descriptors(
+        fc.surf_xyz, fc.surf_intensity, lab_surf, fc.surf_mask,
+        fc.sharp_corner_xyz, fc.sharp_corner_mask,
+        fc.sharp_surf_xyz, fc.sharp_surf_mask, cfg.loop,
+    )
+    return fc, new_sem_state, refined, desc, lab_surf
 
 
 @dataclass
@@ -146,65 +176,63 @@ class SemanticSlam:
             pose6 = np.asarray(self.pose_hook(pose6, self._scan_idx))
         self.scan_poses.append(pose6)
         if bool(is_kf):
-            labels = gt_labels
-            if labels is None and self.infer is not None:
+            lab_raw = None
+            if gt_labels is not None:
+                # gt labels cover the VALID raw points in order; pad_scan /
+                # the bench loaders produce prefix-valid buffers
+                buf = np.zeros(self.cfg.sensor.max_raw_points, np.int32)
+                buf[: min(len(gt_labels), len(buf))] = np.asarray(
+                    gt_labels)[: len(buf)]
+                lab_raw = jnp.asarray(buf)
+            elif self.infer is not None:
                 lab_raw, _sem = self.infer(scan.points, scan.valid)
-                # keep the gt-label convention: labels indexed over the
-                # VALID raw points in order
-                labels = np.asarray(lab_raw)[np.asarray(scan.valid)]
-            self._on_keyframe(scan, pose6, labels)
+                lab_raw = lab_raw.astype(jnp.int32)  # device, no readback
+            self._on_keyframe(scan, pose6, lab_raw)
         self._scan_idx += 1
         return pose6
 
     # ------------------------------------------------------------------
-    def _on_keyframe(self, scan, pose6, labels):
-        """`labels`: learning-class id per VALID raw point (ground truth or
-        RangeNet inference, see process_scan), or None for geometric-only."""
+    def _on_keyframe(self, scan, pose6, lab_raw):
+        """`lab_raw`: learning-class id per RAW point (padded; ground truth
+        or RangeNet inference, see process_scan), or None for
+        geometric-only operation."""
         cfg = self.cfg
-        fc = self._preprocess(scan)
+        with_labels = lab_raw is not None
 
-        # --- stage-1 back-end refinement (SubMapOdometryNode): semantic-
-        # weighted re-registration against the sliding semantic local map,
-        # seeded by the front-end pose ---
-        if labels is not None:
-            lab_raw = np.zeros(cfg.sensor.max_raw_points, np.int32)
-            nval = int(np.asarray(scan.valid).sum())
-            lab_arr = np.asarray(labels)[:nval]
-            lab_raw[: len(lab_arr)] = lab_arr
-            sscan = self._semo.build_semantic_scan(
-                scan, jnp.asarray(lab_raw), cfg)
-            # seed: carry the front-end's increment on top of the refined
-            # trajectory (the reference seeds from its own odometry stream)
-            guess = pose6
-            if self._last_refined is not None and self._last_frontend is not None:
-                T_inc = (
-                    np.asarray(se3.pose_to_matrix(jnp.asarray(pose6)))
-                    @ np.linalg.inv(np.asarray(
-                        se3.pose_to_matrix(jnp.asarray(self._last_frontend))))
-                )
-                T_seed = T_inc @ np.asarray(
-                    se3.pose_to_matrix(jnp.asarray(self._last_refined)))
-                guess = np.asarray(se3.matrix_to_pose(
-                    jnp.asarray(T_seed, dtype=jnp.float32)))
-            self.sem_state, refined, _gn = self._semo.refine_step(
-                self.sem_state, sscan, jnp.asarray(guess, jnp.float32), cfg)
+        # seed for the stage-1 refinement (SubMapOdometryNode): carry the
+        # front-end's increment on top of the refined trajectory (the
+        # reference seeds from its own odometry stream). Host-side numpy —
+        # no device dispatch.
+        guess = pose6
+        if (with_labels and self._last_refined is not None
+                and self._last_frontend is not None):
+            T_inc = (se3_np.pose_to_matrix(pose6)
+                     @ np.linalg.inv(se3_np.pose_to_matrix(self._last_frontend)))
+            guess = se3_np.matrix_to_pose(
+                T_inc @ se3_np.pose_to_matrix(self._last_refined))
+
+        # --- ALL device work in one jitted program ---
+        fc, new_sem_state, refined, desc, lab_surf = _keyframe_device_work(
+            scan,
+            lab_raw if with_labels else jnp.zeros(
+                cfg.sensor.max_raw_points, jnp.int32),
+            jnp.asarray(guess, jnp.float32),
+            self.sem_state, cfg, with_labels,
+        )
+        if with_labels:
+            self.sem_state = new_sem_state
             self._last_frontend = pose6
-            pose6 = np.asarray(refined)
+            # ONE readback: refined pose + the signature the host-side loop
+            # detector database needs
+            pose6, sig_np = jax.device_get((refined, desc.signature))
             self._last_refined = pose6
+        else:
+            sig_np = np.asarray(desc.signature)
 
-        T = np.asarray(se3.pose_to_matrix(jnp.asarray(pose6)))
+        T = se3_np.pose_to_matrix(pose6)
 
-        # --- semantic labels on the feature clouds (semanticFusionNode) ---
-        # (labels per raw point; features carry xyz only, so label lookup
-        # would need the projection indices — for the loop descriptors the
-        # corner/surf split plus coarse labels is what matters)
         corner = fc.sharp_corner_xyz
         surf = fc.surf_xyz
-        if labels is not None:
-            # label by matching nearest raw point
-            lab_surf = self._labels_for(scan, surf, labels)
-        else:
-            lab_surf = jnp.zeros(surf.shape[0], jnp.int32)
 
         kf = sm.Keyframe(
             index=len(self.keyframes),
@@ -220,15 +248,9 @@ class SemanticSlam:
         self.keyframes.append(kf)
         self.kf_scan_ids.append(self._scan_idx)
 
-        # --- loop detection at keyframe rate (loopClosureThread) ---
+        # --- loop detection at keyframe rate (loopClosureThread);
+        # `desc` came out of the fused keyframe device program ---
         if cfg.loop.enabled:
-            desc = epsc.compute_descriptors(
-                surf, fc.surf_intensity, lab_surf, fc.surf_mask,
-                corner, fc.sharp_corner_mask,
-                fc.sharp_surf_xyz, fc.sharp_surf_mask,
-                cfg.loop,
-            )
-
             def recompute(R2, t2):
                 T2 = np.eye(4, dtype=np.float32)
                 T2[:2, :2] = R2
@@ -249,7 +271,8 @@ class SemanticSlam:
                     np.asarray(self.loop_detector._select(desc)))
             rpy = pose6[:3]
             cands = self.loop_detector.add_and_detect(
-                desc, np.array([pose6[3], pose6[4], rpy[2]]), recompute
+                desc, np.array([pose6[3], pose6[4], rpy[2]]), recompute,
+                signature_np=sig_np,
             )
             for c in cands:
                 self._verify_loop(kf, c)
@@ -258,18 +281,6 @@ class SemanticSlam:
         finished = self.collector.add_keyframe(kf)
         if finished is not None:
             self._on_submap(finished)
-
-    # ------------------------------------------------------------------
-    def _labels_for(self, scan, pts, gt_labels):
-        # nearest raw point lookup (host, coarse): fine for synthetic tests
-        raw = np.asarray(scan.points[:, :3])
-        val = np.asarray(scan.valid)
-        lab = np.asarray(gt_labels)
-        sub = np.asarray(pts)
-        h = knn.build_hash(jnp.asarray(raw), jnp.asarray(val), cell_size=1.0,
-                           table_size=1 << 15)
-        _, idx = knn.knn_hash(jnp.asarray(sub), h, k=1)
-        return jnp.asarray(lab[np.asarray(idx)[:, 0]], dtype=jnp.int32)
 
     # ------------------------------------------------------------------
     def _verify_loop(self, kf: sm.Keyframe, cand: epsc.LoopCandidate):
