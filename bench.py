@@ -165,6 +165,33 @@ def main():
     except Exception as e:  # pragma: no cover
         slam_err += f"slam: {e}"
 
+    # ---- accuracy mode: reference-faithful voxel-uniform matched clouds
+    # (match_source="full_ds") — trades ~40% throughput for ~2.5x lower
+    # ATE (see docs/PERF.md). Reported as an extra; the headline number
+    # stays the production "sharp" mode. ----
+    acc_sps = acc_ate = 0.0
+    if int(os.environ.get("BENCH_ACCURACY", "1")):
+        import dataclasses as _dc2
+
+        acfg = cfg.replace(matching=_dc2.replace(
+            cfg.matching, match_source="full_ds"))
+        n_a = min(25, n_scans)
+        astate = odometry.init_state(acfg)
+        aouts = []
+        for sin in padded[:5]:
+            astate, o = odometry.odom_step(astate, sin, acfg)
+            aouts.append(o)
+        jax.block_until_ready(astate)
+        t0 = time.perf_counter()
+        for sin in padded[5:n_a]:
+            astate, o = odometry.odom_step(astate, sin, acfg)
+            aouts.append(o)
+        jax.block_until_ready(astate)
+        acc_sps = (n_a - 5) / (time.perf_counter() - t0)
+        aposes = np.asarray([np.asarray(o.pose) for o in aouts])
+        acc_ate = float(trajectory.ate_rmse(
+            aposes, gt_rel[:n_a], align=False))
+
     result = {
         "metric": "scans_per_sec",
         "value": round(sps, 2),
@@ -172,6 +199,8 @@ def main():
         "vs_baseline": round(sps / 10.0, 2),
         "extra": {
             "ate_m": round(float(ate), 4),
+            "accuracy_mode_scans_per_sec": round(acc_sps, 2),
+            "accuracy_mode_ate_m": round(acc_ate, 4),
             "n_scans": n_scans,
             "batched_scans_per_sec": round(sps_batched, 2),
             "batch": B,

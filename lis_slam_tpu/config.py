@@ -136,6 +136,20 @@ class MatchingConfig:
     # (scan_to_map_scheduled): static iteration count + kNN refresh points
     uniform_iters: int = 8
     uniform_refresh: tuple = (2, 5)
+    # matched-cloud source: "sharp" (production: the extracted sharp
+    # feature clouds) or "full_ds" (reference-faithful: voxel-DS of the
+    # FULL corner/surf clouds — currentCloudInit, odomEstimationNode.cpp:
+    # 260-281 downsamples the full clouds, NOT the sharp subsets)
+    match_source: str = "sharp"
+    matched_corner_capacity: int = 4096
+    matched_surf_capacity: int = 4096
+    # full_ds leaf sizes. The reference uses the mapping leaves (0.2/0.4);
+    # measured on the synthetic circuit, the accuracy gain comes from the
+    # VOXEL-UNIFORM coverage, not the point count — surf leaf 1.2 m keeps
+    # nearly all of it (ATE 0.051 vs 0.044 at 0.4 m) at 1.5x the speed
+    # (docs/PERF.md round-2 notes).
+    matched_corner_leaf: float = 0.2
+    matched_surf_leaf: float = 1.2
     # map buffer capacities (multi-frame target, voxel-downsampled).
     # Sized ~2x the occupancy observed on dense urban synthetic replay
     # (surf ~29k, corner ~3k voxels over the 20-keyframe window).

@@ -242,14 +242,27 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
     )
     guess = jnp.where(first, first_guess, guess)
 
-    # ---- scan-to-map optimization on the sharp clouds (:596-626) ----
+    # ---- scan-to-map optimization (:596-626) ----
+    # matched clouds: the sharp feature subsets (fast production default)
+    # or, reference-faithfully, voxel-DS of the FULL corner/surf clouds
+    # (currentCloudInit :260-281)
+    if cfg.matching.match_source == "full_ds":
+        mc_xyz, mc_mask, _ = voxel.voxel_downsample(
+            fc.corner_xyz, fc.corner_mask, cfg.matching.matched_corner_leaf,
+            cfg.matching.matched_corner_capacity)
+        ms_xyz, ms_mask, _ = voxel.voxel_downsample(
+            fc.surf_xyz, fc.surf_mask, cfg.matching.matched_surf_leaf,
+            cfg.matching.matched_surf_capacity)
+    else:
+        mc_xyz, mc_mask = fc.sharp_corner_xyz, fc.sharp_corner_mask
+        ms_xyz, ms_mask = fc.sharp_surf_xyz, fc.sharp_surf_mask
     if uniform:
         # cond-free static-schedule solver: under vmap the drift-triggered
         # cache refresh of scan_to_map double-executes every iteration
         gn = scan_match.scan_to_map_scheduled(
             guess,
-            fc.sharp_corner_xyz, fc.sharp_corner_mask,
-            fc.sharp_surf_xyz, fc.sharp_surf_mask,
+            mc_xyz, mc_mask,
+            ms_xyz, ms_mask,
             state.map_corner, state.map_corner_mask,
             state.map_surf, state.map_surf_mask,
             cfg.matching, cfg.matching.uniform_iters,
@@ -258,8 +271,8 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
     else:
         gn = scan_match.scan_to_map(
             guess,
-            fc.sharp_corner_xyz, fc.sharp_corner_mask,
-            fc.sharp_surf_xyz, fc.sharp_surf_mask,
+            mc_xyz, mc_mask,
+            ms_xyz, ms_mask,
             state.map_corner, state.map_corner_mask,
             state.map_surf, state.map_surf_mask,
             cfg.matching, cfg.matching.max_iterations_frontend,

@@ -108,3 +108,31 @@ def test_greedy_and_vectorized_features_track_alike():
         assert err.max() < 0.1, f"max divergence {err.max():.3f} m"
     finally:
         syn.hdl64_elevations = orig
+
+
+@pytest.mark.slow
+def test_full_ds_matching_mode(small_cfg):
+    """match_source="full_ds" (reference currentCloudInit semantics:
+    voxel-uniform DS of the FULL clouds): must track at least as well as
+    the sharp-feature production mode on the same sequence."""
+    import dataclasses
+
+    n = 12
+    world = synthetic.make_world(seed=5)
+    gt_poses = synthetic.circular_trajectory(n + 1, radius=60.0, speed=8.0)
+    scans = [
+        synthetic.render_scan(world, gt_poses[i], None, seed=50 + i,
+                              noise=0.01)
+        for i in range(n)
+    ]
+    gt_rel = trajectory.relative_to_first(gt_poses[:n])
+
+    cfg_fd = small_cfg.replace(matching=dataclasses.replace(
+        small_cfg.matching, match_source="full_ds"))
+    ate_fd = trajectory.ate_rmse(
+        driver.replay_odometry(scans, cfg_fd).poses, gt_rel, align=False)
+    ate_sharp = trajectory.ate_rmse(
+        driver.replay_odometry(scans, small_cfg).poses, gt_rel, align=False)
+    assert ate_fd < ate_sharp * 1.05 + 0.01, (
+        f"full_ds {ate_fd:.3f} vs sharp {ate_sharp:.3f}")
+    assert ate_fd < 0.2
