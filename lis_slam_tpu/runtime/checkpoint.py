@@ -44,3 +44,188 @@ def load_odom_state(path: str, template: odometry.OdomState) -> tuple:
     ]
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return state, meta.get("extra", {})
+
+
+def save_slam(path: str, system) -> None:
+    """Full-system checkpoint for pipeline.slam.SemanticSlam: odometry +
+    semantic-odometry device state, per-scan poses, keyframe store, submap
+    store, pose graph, loop-detector database. The reference supports no
+    mid-run persistence at all; this enables stop/resume of long replays."""
+    arrs: dict[str, np.ndarray] = {}
+    meta: dict = {"version": 2}
+
+    for tag, tree in (("odom", system.state), ("sem", system.sem_state)):
+        leaves, _ = jax.tree_util.tree_flatten(tree)
+        meta[f"n_{tag}"] = len(leaves)
+        for i, x in enumerate(leaves):
+            arrs[f"{tag}_{i}"] = np.asarray(x)
+
+    arrs["scan_poses"] = np.asarray(system.scan_poses).reshape(-1, 6)
+    arrs["kf_scan_ids"] = np.asarray(system.kf_scan_ids, np.int64)
+    meta["scan_idx"] = system._scan_idx
+    meta["scan_time"] = float(system._scan_time)
+    if system._last_refined is not None:
+        arrs["last_refined"] = np.asarray(system._last_refined)
+        arrs["last_frontend"] = np.asarray(system._last_frontend)
+
+    # keyframes
+    meta["n_kf"] = len(system.keyframes)
+    for k, kf in enumerate(system.keyframes):
+        arrs[f"kf{k}_pose_init"] = kf.pose_init
+        arrs[f"kf{k}_pose_opt"] = kf.pose_opt
+        arrs[f"kf{k}_corner"] = np.asarray(kf.corner_xyz)
+        arrs[f"kf{k}_corner_m"] = np.asarray(kf.corner_mask)
+        arrs[f"kf{k}_surf"] = np.asarray(kf.surf_xyz)
+        arrs[f"kf{k}_surf_m"] = np.asarray(kf.surf_mask)
+        arrs[f"kf{k}_t"] = np.float64(kf.timestamp)
+        arrs[f"kf{k}_sid"] = np.int64(kf.submap_id)
+
+    # submaps
+    meta["n_sm"] = len(system.collector.submaps)
+    for k, sm_ in enumerate(system.collector.submaps):
+        arrs[f"sm{k}_pose_init"] = sm_.pose_init
+        arrs[f"sm{k}_pose_opt"] = sm_.pose_opt
+        arrs[f"sm{k}_corner"] = np.asarray(sm_.corner_xyz)
+        arrs[f"sm{k}_corner_m"] = np.asarray(sm_.corner_mask)
+        arrs[f"sm{k}_surf"] = np.asarray(sm_.surf_xyz)
+        arrs[f"sm{k}_surf_m"] = np.asarray(sm_.surf_mask)
+        arrs[f"sm{k}_kf_idx"] = np.asarray(sm_.kf_indices, np.int64)
+        arrs[f"sm{k}_kf_rel"] = np.asarray(sm_.kf_rel_poses).reshape(-1, 4, 4)
+    # collector accumulators + open keyframe indices
+    meta["col"] = {
+        "accu_tran": system.collector.accu_tran,
+        "accu_rot": system.collector.accu_rot,
+        "accu_frame": system.collector.accu_frame,
+        "open_kfs": [kf.index for kf in system.collector._cur_kfs],
+    }
+
+    # pose graph (host lists)
+    gb = system.graph
+    meta["n_nodes"] = len(gb.nodes)
+    meta["n_edges"] = len(gb.edges)
+    meta["n_priors"] = len(gb.priors)
+    for k, n_ in enumerate(gb.nodes):
+        arrs[f"gn{k}"] = n_
+    for k, (i, j, z, w) in enumerate(gb.edges):
+        arrs[f"ge{k}_z"] = z
+        arrs[f"ge{k}_w"] = w
+        arrs[f"ge{k}_ij"] = np.asarray([i, j], np.int64)
+    for k, (i, z, w) in enumerate(gb.priors):
+        arrs[f"gp{k}_z"] = z
+        arrs[f"gp{k}_w"] = w
+        arrs[f"gp{k}_i"] = np.int64(i)
+
+    # loop detector database
+    ld = system.loop_detector
+    meta["n_ld"] = len(ld.poses)
+    if ld.poses:
+        arrs["ld_poses"] = np.asarray(ld.poses)
+        arrs["ld_travel"] = np.asarray(ld.travel)
+        arrs["ld_sigs"] = np.asarray(ld._sig_db)
+        for k, d in enumerate(ld.descs):
+            for f in d._fields:
+                arrs[f"ld{k}_{f}"] = np.asarray(getattr(d, f))
+    # pending verified loops
+    meta["n_loops"] = len(system.loops)
+    for k, (i, j, T, fit) in enumerate(system.loops):
+        arrs[f"lp{k}_T"] = T
+        arrs[f"lp{k}_ijf"] = np.asarray([i, j, fit])
+
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrs)
+
+
+def load_slam(path: str, system) -> None:
+    """Restore into a freshly constructed SemanticSlam (same config)."""
+    from ..loop import epsc as _epsc
+    from ..mapping import submap as _sm
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["__meta__"]))
+
+    for tag, tree, setter in (
+        ("odom", system.state, "state"),
+        ("sem", system.sem_state, "sem_state"),
+    ):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        assert meta[f"n_{tag}"] == len(leaves), "config mismatch"
+        new = [jnp.asarray(data[f"{tag}_{i}"]) for i in range(len(leaves))]
+        setattr(system, setter, jax.tree_util.tree_unflatten(treedef, new))
+
+    system.scan_poses = [p for p in data["scan_poses"]]
+    system.kf_scan_ids = list(data["kf_scan_ids"])
+    system._scan_idx = int(meta["scan_idx"])
+    system._scan_time = float(meta["scan_time"])
+    if "last_refined" in data:
+        system._last_refined = data["last_refined"]
+        system._last_frontend = data["last_frontend"]
+
+    system.keyframes = []
+    for k in range(meta["n_kf"]):
+        kf = _sm.Keyframe(
+            index=k,
+            pose_init=data[f"kf{k}_pose_init"],
+            pose_opt=data[f"kf{k}_pose_opt"],
+            clouds=_sm.ClassClouds(
+                xyz=jnp.zeros((5, 8, 3)), mask=jnp.zeros((5, 8), bool)),
+            corner_xyz=jnp.asarray(data[f"kf{k}_corner"]),
+            corner_mask=jnp.asarray(data[f"kf{k}_corner_m"]),
+            surf_xyz=jnp.asarray(data[f"kf{k}_surf"]),
+            surf_mask=jnp.asarray(data[f"kf{k}_surf_m"]),
+            timestamp=float(data[f"kf{k}_t"]),
+            submap_id=int(data[f"kf{k}_sid"]),
+        )
+        system.keyframes.append(kf)
+
+    system.collector.submaps = []
+    for k in range(meta["n_sm"]):
+        sm_ = _sm.SubMap(
+            index=k,
+            pose_init=data[f"sm{k}_pose_init"],
+            pose_opt=data[f"sm{k}_pose_opt"],
+            corner_xyz=jnp.asarray(data[f"sm{k}_corner"]),
+            corner_mask=jnp.asarray(data[f"sm{k}_corner_m"]),
+            surf_xyz=jnp.asarray(data[f"sm{k}_surf"]),
+            surf_mask=jnp.asarray(data[f"sm{k}_surf_m"]),
+            kf_indices=list(data[f"sm{k}_kf_idx"]),
+            kf_rel_poses=[T for T in data[f"sm{k}_kf_rel"]],
+        )
+        sm_.recompute_bbox()
+        system.collector.submaps.append(sm_)
+    col = meta["col"]
+    system.collector.accu_tran = col["accu_tran"]
+    system.collector.accu_rot = col["accu_rot"]
+    system.collector.accu_frame = col["accu_frame"]
+    system.collector._cur_kfs = [
+        system.keyframes[i] for i in col["open_kfs"]]
+    if system.keyframes:
+        system.collector._last_pose = system.keyframes[-1].pose_init.copy()
+
+    gb = system.graph
+    gb.nodes = [data[f"gn{k}"] for k in range(meta["n_nodes"])]
+    gb.edges = []
+    # the first node's anchor prior is re-added by add_node on fresh builds;
+    # here we restore the exact saved lists instead
+    gb.priors = []
+    for k in range(meta["n_edges"]):
+        ij = data[f"ge{k}_ij"]
+        gb.edges.append((int(ij[0]), int(ij[1]),
+                         data[f"ge{k}_z"], data[f"ge{k}_w"]))
+    for k in range(meta["n_priors"]):
+        gb.priors.append((int(data[f"gp{k}_i"]),
+                          data[f"gp{k}_z"], data[f"gp{k}_w"]))
+
+    ld = system.loop_detector
+    ld.descs, ld.poses, ld.travel, ld._sig_db = [], [], [], None
+    if meta["n_ld"]:
+        ld.poses = [p for p in data["ld_poses"]]
+        ld.travel = list(data["ld_travel"])
+        ld._sig_db = data["ld_sigs"]
+        for k in range(meta["n_ld"]):
+            ld.descs.append(_epsc.Descriptors(
+                **{f: jnp.asarray(data[f"ld{k}_{f}"])
+                   for f in _epsc.Descriptors._fields}))
+    system.loops = []
+    for k in range(meta["n_loops"]):
+        ijf = data[f"lp{k}_ijf"]
+        system.loops.append(
+            (int(ijf[0]), int(ijf[1]), data[f"lp{k}_T"], float(ijf[2])))

@@ -121,3 +121,73 @@ def test_checkpoint_roundtrip(tmp_path):
 
     assert (jax.tree_util.tree_structure(loaded)
             == jax.tree_util.tree_structure(template))
+
+
+@pytest.mark.slow
+def test_full_slam_checkpoint_resume(tmp_path):
+    """Full-system checkpoint: a resumed SemanticSlam must continue to the
+    same final trajectory as an uninterrupted run (the reference has no
+    mid-run persistence at all)."""
+    import dataclasses
+
+    import lis_slam_tpu.io.synthetic as syn
+    from lis_slam_tpu.io import synthetic
+    from lis_slam_tpu.pipeline import driver as drv, slam
+    from lis_slam_tpu.runtime import checkpoint as ckpt
+    from tests.test_slam_pipeline import tiny_cfg
+
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        rng = np.random.default_rng(9)
+        boxes, labels = [], []
+        for k in range(14):
+            ang = 2 * np.pi * k / 14
+            cx, cy = 26.0 * np.cos(ang), 10.0 + 26.0 * np.sin(ang)
+            w, d, h = rng.uniform(5, 9), rng.uniform(5, 9), rng.uniform(5, 14)
+            boxes.append([cx - w / 2, cy - d / 2, 0,
+                          cx + w / 2, cy + d / 2, h])
+            labels.append(synthetic.LBL_BUILDING)
+        poles = [[r * np.cos(a), 10.0 + r * np.sin(a), 0.15, 5.0]
+                 for a, r in zip(np.linspace(0, 2 * np.pi, 24, endpoint=False),
+                                 rng.uniform(15, 20, 24))]
+        world = synthetic.World(
+            boxes=np.asarray(boxes), box_labels=np.asarray(labels, np.int32),
+            poles=np.asarray(poles))
+        n = 30
+        gt = synthetic.circular_trajectory(n + 1, radius=10.0, speed=6.3)
+        scans = [synthetic.render_scan(world, gt[i], None, n_scan=16,
+                                       horizon=900, seed=600 + i,
+                                       max_range=90.0) for i in range(n)]
+        cfg = tiny_cfg()
+        sins = [drv.pad_scan(s.points[s.valid], cfg) for s in scans]
+        labs = [s.labels[s.valid] for s in scans]
+
+        # uninterrupted run
+        a = slam.SemanticSlam(cfg)
+        for i in range(n):
+            a.process_scan(sins[i], gt_labels=labs[i], timestamp=i * 0.1)
+        res_a = a.finish()
+
+        # interrupted at scan 15 + resumed
+        b1 = slam.SemanticSlam(cfg)
+        for i in range(15):
+            b1.process_scan(sins[i], gt_labels=labs[i], timestamp=i * 0.1)
+        p = str(tmp_path / "slam_ckpt.npz")
+        ckpt.save_slam(p, b1)
+        del b1
+        b2 = slam.SemanticSlam(cfg)
+        ckpt.load_slam(p, b2)
+        for i in range(15, n):
+            b2.process_scan(sins[i], gt_labels=labs[i], timestamp=i * 0.1)
+        res_b = b2.finish()
+
+        assert res_b.poses.shape == res_a.poses.shape
+        # device state restores bit-exactly; host float bookkeeping may
+        # differ at rounding level through the remaining solves
+        np.testing.assert_allclose(res_b.raw_poses, res_a.raw_poses,
+                                   atol=1e-4)
+        np.testing.assert_allclose(res_b.poses, res_a.poses, atol=5e-3)
+        assert res_b.n_submaps == res_a.n_submaps
+    finally:
+        syn.hdl64_elevations = orig
