@@ -142,17 +142,10 @@ class SemanticSlam:
         self._scan_time = 0.0
         self.keyframes: list[sm.Keyframe] = []
         self.kf_scan_ids: list[int] = []
-        self.kf_desc_inputs: list = []
         self.loops: list[tuple[int, int, np.ndarray, float]] = []  # kf i,j
         self._scan_idx = 0
-        self._preprocess = jax.jit(
-            lambda s: odometry.preprocess(s, cfg), static_argnums=()
-        )
-        # back-end semantic submap odometry (stage 1 refinement); engaged
-        # whenever per-point labels are available
-        from . import semantic_odometry as semo
-
-        self._semo = semo
+        # back-end semantic submap odometry (stage 1 refinement) state;
+        # engaged whenever per-point labels are available
         self.sem_state = semo.init_state(cfg)
         self._last_refined: np.ndarray | None = None
         self._last_frontend: np.ndarray | None = None

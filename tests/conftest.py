@@ -28,3 +28,15 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the in-process compiler/executable cache growth: with the whole
+    suite in one process, the XLA CPU compiler has been observed to segfault
+    when compiling new programs against a large accumulated cache (same
+    program compiles fine in a fresh process). Clearing per module keeps
+    every module's compile environment small at the cost of some recompiles.
+    """
+    yield
+    jax.clear_caches()
