@@ -40,7 +40,7 @@ def main():
     # compile ~2-4 min through the remote relay); skip remaining extras
     # rather than risk the driver's timeout on the ONE required JSON line
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2000"))
 
     def budget_left():
         return (time.perf_counter() - t_start) < budget_s
@@ -80,29 +80,69 @@ def main():
         bp, bl, bv = prep(pts, lbl, val)
         padded.append(odometry.ScanInput(points=bp, valid=bv, **zero_imu))
         padded_labels.append(bl)
-    _jax.block_until_ready(padded[-1].points)
+    # NOTE (axon): jax.block_until_ready does NOT reliably block on the
+    # tunneled TPU backend — execution (and even remote compilation) is
+    # fully async and only a D2H materialization synchronizes. Every timed
+    # region below therefore ends with a small device_get, never a bare
+    # block_until_ready.
+    _jax.device_get(padded[-1].points[0])
 
     state = odometry.init_state(cfg)
     step = odometry.odom_step
 
     outs = []
-    # warmup (compile + first keyframes)
+    # warmup (compile + first keyframes); device_get SYNCS (see note above)
     for sin in padded[:warmup]:
         state, out = step(state, sin, cfg)
         outs.append(out)
-    jax.block_until_ready(state)
+    jax.device_get(out.pose)
 
     t0 = time.perf_counter()
     for sin in padded[warmup:]:
         state, out = step(state, sin, cfg)
         outs.append(out)
-    jax.block_until_ready(state)
+    jax.device_get(out.pose)  # data-dependent on the whole chain
     wall = time.perf_counter() - t0
     sps = (n_scans - warmup) / wall
 
     poses = np.asarray([np.asarray(o.pose) for o in outs])
     gt_rel = trajectory.relative_to_first(gt[:n_scans])
     ate = trajectory.ate_rmse(poses, gt_rel, align=False)
+
+    # ---- config 4 FIRST among the extras: full SemanticSlam (keyframe-rate
+    # semantic refinement inside the fused per-scan program + async loop
+    # closure + pose graph + submap closes). This is full-SYSTEM throughput
+    # including host orchestration — the reference's five concurrent nodes
+    # run at 10 Hz; the round-3 target is >= 30 scans/s. ----
+    n_sys = min(int(os.environ.get("BENCH_SYS_SCANS", "60")), n_scans)
+    lio_sps = slam_sps = 0.0
+    slam_n_loops = slam_n_submaps = 0
+    slam_err = ""
+    try:
+        if not budget_left():
+            raise TimeoutError("bench budget exhausted")
+        from lis_slam_tpu.pipeline import slam as slam_mod
+
+        labels_np = [np.asarray(padded_labels[i])[np.asarray(padded[i].valid)]
+                     for i in range(n_sys)]
+
+        def run_slam():
+            system = slam_mod.SemanticSlam(cfg)
+            system.process_scan(padded[0], gt_labels=labels_np[0])
+            t0 = time.perf_counter()
+            for i in range(1, n_sys):
+                system.process_scan(
+                    padded[i], gt_labels=labels_np[i], timestamp=i * 0.1)
+            system.flush_pipeline()  # all deferred drains/loops consumed
+            jax.device_get(system.state.pose)
+            return (n_sys - 1) / (time.perf_counter() - t0), system
+
+        run_slam()  # warmup replay: compiles every stage incl. loop/submap
+        slam_sps, system = run_slam()
+        slam_n_submaps = len(system.collector.submaps)
+        slam_n_loops = system._n_loop_factors + len(system.loops)
+    except Exception as e:  # pragma: no cover
+        slam_err += f"slam: {e}; "
 
     # ---- batched multi-sequence replay (config 5): aggregate throughput
     # via the cond-free uniform step (odom_step_uniform). On ONE chip the
@@ -119,22 +159,16 @@ def main():
         stack = lambda sin: jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), sin)
         bscans = [stack(s) for s in padded[:n_b]]
-        bstates, _ = pb.batched_odom_step(bstates, bscans[0], cfg)
-        jax.block_until_ready(bstates)
+        bstates, bout = pb.batched_odom_step(bstates, bscans[0], cfg)
+        jax.device_get(bout.pose)
         tb = time.perf_counter()
         for bs in bscans[1:]:
-            bstates, _ = pb.batched_odom_step(bstates, bs, cfg)
-        jax.block_until_ready(bstates)
+            bstates, bout = pb.batched_odom_step(bstates, bs, cfg)
+        jax.device_get(bout.pose)
         wall_b = time.perf_counter() - tb
         sps_batched = B * (n_b - 1) / wall_b
 
-    # ---- configs 2-4: LIO, and full SemanticSlam (keyframe-rate semantic
-    # refinement + loop closure + pose graph). Undistorted device scans +
-    # synthetic IMU streams: these numbers track full-SYSTEM throughput
-    # (host orchestration + device programs), not front-end-only speed. ----
-    n_sys = min(int(os.environ.get("BENCH_SYS_SCANS", "25")), n_scans)
-    lio_sps = slam_sps = 0.0
-    slam_err = ""
+    # ---- config 2: LIO (IMU preintegration + fusion) ----
     try:
         if not budget_left():
             raise TimeoutError("bench budget exhausted")
@@ -142,40 +176,27 @@ def main():
 
         import dataclasses as _dc
 
+        n_lio = min(25, n_scans)
         lcfg = cfg.replace(imu=_dc.replace(cfg.imu, use_imu=True))
         lio_sys = lio_mod.LioOdometry(lcfg)
         imu_t = np.arange(12) * 0.01
         imu_g = np.zeros((12, 3), np.float32)
         imu_a = np.tile(np.array([[0.0, 0.0, 9.80511]], np.float32), (12, 1))
         host_scans = [np.asarray(padded[i].points)[np.asarray(padded[i].valid)]
-                      for i in range(n_sys)]
-        lio_sys.process_scan(host_scans[0], imu_t, imu_g, imu_a, 0.0)
-        t0 = time.perf_counter()
-        for i in range(1, n_sys):
-            lio_sys.process_scan(
+                      for i in range(n_lio)]
+        n_warm = 3  # covers prestep + both poststep variants' compiles
+        for i in range(n_warm):
+            p = lio_sys.process_scan(
                 host_scans[i], imu_t + i * 0.1, imu_g, imu_a, i * 0.1)
-        jax.block_until_ready(lio_sys.state.pose)
-        lio_sps = (n_sys - 1) / (time.perf_counter() - t0)
+        jax.device_get(p)
+        t0 = time.perf_counter()
+        for i in range(n_warm, n_lio):
+            p = lio_sys.process_scan(
+                host_scans[i], imu_t + i * 0.1, imu_g, imu_a, i * 0.1)
+        jax.device_get(p)
+        lio_sps = (n_lio - n_warm) / (time.perf_counter() - t0)
     except Exception as e:  # pragma: no cover - bench resilience
         slam_err += f"lio: {e}; "
-
-    try:
-        if not budget_left():
-            raise TimeoutError("bench budget exhausted")
-        from lis_slam_tpu.pipeline import slam as slam_mod
-
-        system = slam_mod.SemanticSlam(cfg)
-        labels_np = [np.asarray(padded_labels[i])[np.asarray(padded[i].valid)]
-                     for i in range(n_sys)]
-        system.process_scan(padded[0], gt_labels=labels_np[0])
-        t0 = time.perf_counter()
-        for i in range(1, n_sys):
-            system.process_scan(
-                padded[i], gt_labels=labels_np[i], timestamp=i * 0.1)
-        jax.block_until_ready(system.state.pose)
-        slam_sps = (n_sys - 1) / (time.perf_counter() - t0)
-    except Exception as e:  # pragma: no cover
-        slam_err += f"slam: {e}"
 
     # ---- accuracy mode: reference-faithful voxel-uniform matched clouds
     # (match_source="full_ds") — trades ~40% throughput for ~2.5x lower
@@ -193,12 +214,12 @@ def main():
         for sin in padded[:5]:
             astate, o = odometry.odom_step(astate, sin, acfg)
             aouts.append(o)
-        jax.block_until_ready(astate)
+        jax.device_get(o.pose)
         t0 = time.perf_counter()
         for sin in padded[5:n_a]:
             astate, o = odometry.odom_step(astate, sin, acfg)
             aouts.append(o)
-        jax.block_until_ready(astate)
+        jax.device_get(o.pose)
         acc_sps = (n_a - 5) / (time.perf_counter() - t0)
         aposes = np.asarray([np.asarray(o.pose) for o in aouts])
         acc_ate = float(trajectory.ate_rmse(
@@ -218,6 +239,8 @@ def main():
             "batch": B,
             "lio_scans_per_sec": round(lio_sps, 2),
             "full_slam_scans_per_sec": round(slam_sps, 2),
+            "full_slam_submaps": slam_n_submaps,
+            "full_slam_loop_factors": slam_n_loops,
             "sys_scans": n_sys,
             "device": str(jax.devices()[0]),
             **({"sys_err": slam_err} if slam_err else {}),

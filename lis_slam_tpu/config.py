@@ -86,6 +86,13 @@ class ImuConfig:
         (2.024406e-03, 1.482454e-02, 9.998881e-01),
     )
     extrinsic_trans: tuple = (-8.086759e-01, 3.195559e-01, -7.997231e-01)
+    # orientation remap matrix (extrinsicRPY, utility.h:500-508; the
+    # reference's params set it equal to extrinsicRot for these sensors)
+    extrinsic_rpy: tuple = (
+        (9.999976e-01, 7.553071e-04, -2.035826e-03),
+        (-7.854027e-04, 9.998898e-01, -1.482298e-02),
+        (2.024406e-03, 1.482454e-02, 9.998881e-01),
+    )
     # fixed-capacity IMU window per scan (200 Hz * 0.1 s + margin)
     max_imu_per_scan: int = 64
 
@@ -158,6 +165,9 @@ class MatchingConfig:
     # voxel-hash NN parameters
     hash_table_slots: int = 1 << 15
     hash_bucket_size: int = 16
+    # back-end degenerate-solve ICP fallback (icpAlignment,
+    # subMapOptmizationNode.cpp:1435-1507)
+    icp_fallback: bool = True
 
 
 @dataclass(frozen=True)
@@ -198,6 +208,10 @@ class SubMapConfig:
     # per-submap merged cloud capacities
     corner_capacity: int = 65536
     surf_capacity: int = 131072
+    # per-category clouds: keyframe_t carries 5 semantic class clouds
+    # (subMap.h:237-428) and submap_t merges them (:435-664)
+    keyframe_class_capacity: int = 8192
+    class_capacity: int = 32768
     # dynamic-removal gates (subMap.h:1065-1100)
     dynamic_removal_radius: float = 30.0
     dynamic_near: float = 0.1
@@ -274,6 +288,11 @@ class RuntimeConfig:
     """Host-side runtime: queues, replay, export (aux subsystems)."""
 
     queue_capacity: int = 20  # drop-beyond-20 policy (subMapOptmizationNode.cpp:739)
+    # deferred-pipeline drain batch: per-scan results are fetched from the
+    # device in batches of this many scans with ONE blocking transfer
+    # (pipeline/slam.py). 1 = near-synchronous; larger amortizes the ~50 ms
+    # D2H sync of tunneled TPUs at the cost of keyframe bookkeeping lag.
+    drain_every: int = 6
     mapping_process_interval: float = 0.15
     z_tolerance: float = 1000.0
     rotation_tolerance: float = 1000.0

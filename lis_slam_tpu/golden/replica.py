@@ -235,8 +235,12 @@ def extract_features(ext: Extracted, cfg: SlamConfig):
 # solver: cornerOptimization / surfOptimization / LMOptimization
 # ---------------------------------------------------------------------------
 
-def _corner_coeffs(pts_sel, tree: cKDTree, map_pts, cfg):
-    """(:633-747). Returns (ori_idx, coeff (k,3), res (k,))."""
+def _corner_coeffs(pts_sel, tree: cKDTree, map_pts, cfg, weights=None):
+    """(:633-747). Returns (ori_idx, coeff (k,3), res (k,)).
+
+    `weights`: optional per-point semantic weights w = 2 - LabelSorce
+    multiplied into coeff and residual (the back-end's semantic-weighted
+    variant, subMapOptmizationNode.cpp:1671-1676)."""
     d, idx = tree.query(pts_sel, k=5)
     out_i, out_c, out_r = [], [], []
     for i in range(len(pts_sel)):
@@ -264,14 +268,15 @@ def _corner_coeffs(pts_sel, tree: cKDTree, map_pts, cfg):
         ld2 = a012 / l12
         s = 1 - 0.9 * abs(ld2)
         if s > 0.1:
+            w = 1.0 if weights is None else float(weights[i])
             out_i.append(i)
-            out_c.append(s * np.array([la, lb, lc]))
-            out_r.append(s * ld2)
+            out_c.append(w * s * np.array([la, lb, lc]))
+            out_r.append(w * s * ld2)
     return out_i, out_c, out_r
 
 
-def _surf_coeffs(pts_sel, tree: cKDTree, map_pts, cfg):
-    """(:749-827)."""
+def _surf_coeffs(pts_sel, tree: cKDTree, map_pts, cfg, weights=None):
+    """(:749-827); `weights` as in _corner_coeffs (:1795-1800)."""
     d, idx = tree.query(pts_sel, k=5)
     out_i, out_c, out_r = [], [], []
     for i in range(len(pts_sel)):
@@ -292,10 +297,66 @@ def _surf_coeffs(pts_sel, tree: cKDTree, map_pts, cfg):
         pd2 = pts_sel[i] @ nvec + dd
         s = 1 - 0.9 * abs(pd2) / np.sqrt(np.linalg.norm(pts_sel[i]))
         if s > 0.1:
+            w = 1.0 if weights is None else float(weights[i])
             out_i.append(i)
-            out_c.append(s * nvec)
-            out_r.append(s * pd2)
+            out_c.append(w * s * nvec)
+            out_r.append(w * s * pd2)
     return out_i, out_c, out_r
+
+
+# ---------------------------------------------------------------------------
+# back-end replicas: semantic-weighted scan-to-submap refinement
+# (scan2SubMapOptimization, subMapOptmizationNode.cpp:1509-1967) and
+# submap-to-submap registration (subMap2SubMapOptimization, :4485-4540)
+# ---------------------------------------------------------------------------
+
+def scan_to_submap_semantic(pose0, corner_pts, corner_w, surf_pts, surf_w,
+                            map_corner, map_surf, cfg, max_iter=20):
+    """Reference back-end stage-1 solve: the SAME corner/surf/LM math as the
+    front end, with per-point semantic weights w = 2 - LabelSorce[label]
+    multiplied into coefficients and residuals (:1671-1676, 1795-1800);
+    <= 20 iterations (:1520). Points in sensor frame, map in world frame.
+    Returns the optimized pose6."""
+    pose = np.asarray(pose0, np.float64).copy()
+    tree_c = cKDTree(map_corner) if len(map_corner) >= 5 else None
+    tree_s = cKDTree(map_surf) if len(map_surf) >= 5 else None
+    lm_state = {"matP": np.eye(6), "degenerate": False,
+                "deltaR": 1e9, "deltaT": 1e9}
+    for it in range(max_iter):
+        T = pose_to_matrix(pose)
+        ori, coef, res = [], [], []
+        if tree_c is not None and len(corner_pts):
+            sel = transform_points(T, corner_pts)
+            i_, c_, r_ = _corner_coeffs(sel, tree_c, map_corner, cfg,
+                                        weights=corner_w)
+            ori += [corner_pts[j] for j in i_]
+            coef += c_
+            res += r_
+        if tree_s is not None and len(surf_pts):
+            sel = transform_points(T, surf_pts)
+            i_, c_, r_ = _surf_coeffs(sel, tree_s, map_surf, cfg,
+                                      weights=surf_w)
+            ori += [surf_pts[j] for j in i_]
+            coef += c_
+            res += r_
+        if len(res) < 50:
+            break
+        pose, conv = lm_step(pose, np.asarray(ori), np.asarray(coef),
+                             np.asarray(res), it, lm_state, cfg)
+        if conv:
+            break
+    return pose
+
+
+def submap_to_submap(pose0, cur_corner, cur_surf, prev_corner, prev_surf,
+                     cfg, max_iter=30):
+    """subMap2SubMapOptimization (:4485-4540): the same solver registering
+    the current submap's clouds (expressed in its own frame) against the
+    previous submap's world-frame clouds; <= 30 iterations, uniform
+    weights."""
+    return scan_to_submap_semantic(
+        pose0, cur_corner, None, cur_surf, None, prev_corner, prev_surf,
+        cfg, max_iter=max_iter)
 
 
 def lm_step(pose, pts_ori, coeff, res, iter_count, lm_state, cfg):

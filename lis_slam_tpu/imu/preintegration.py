@@ -181,11 +181,33 @@ def correct_delta(pre: PreintegratedImu, dbg: jnp.ndarray, dba: jnp.ndarray):
 
 def imu_to_lidar(gyro: jnp.ndarray, accel: jnp.ndarray, cfg: ImuConfig):
     """Rotate raw IMU measurements into the lidar frame (imuConverter,
-    reference utility.h:482-517: acc/gyr left-multiplied by extRot). The
-    reference also remaps orientation via extRPY; orientation here is
-    derived from the rotated rates, so extRot covers it."""
+    reference utility.h:482-517: acc/gyr left-multiplied by extRot)."""
     R = jnp.asarray(cfg.extrinsic_rot, jnp.float32)
     return gyro @ R.T, accel @ R.T
+
+
+def remap_imu_orientation(rpy, cfg: ImuConfig):
+    """imuConverter's orientation remap (utility.h:500-508): the absolute
+    IMU orientation is POST-multiplied by the extrinsicRPY quaternion
+    (q_final = q_from * extQRPY), separately from the extRot rate rotation.
+    Numpy in, numpy out (host-rate path — one 3x3 product per scan)."""
+    import numpy as np
+
+    def euler_to_rot_np(r):
+        cr, sr = np.cos(r[0]), np.sin(r[0])
+        cp, sp = np.cos(r[1]), np.sin(r[1])
+        cy, sy = np.cos(r[2]), np.sin(r[2])
+        Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        return Rz @ Ry @ Rx
+
+    R_out = euler_to_rot_np(np.asarray(rpy, np.float64)) @ np.asarray(
+        cfg.extrinsic_rpy, np.float64)
+    pitch = -np.arcsin(np.clip(R_out[2, 0], -1.0, 1.0))
+    roll = np.arctan2(R_out[2, 1], R_out[2, 2])
+    yaw = np.arctan2(R_out[1, 0], R_out[0, 0])
+    return np.array([roll, pitch, yaw], np.float64)
 
 
 def failure_detection(velocity: jnp.ndarray, bg: jnp.ndarray,
@@ -197,6 +219,81 @@ def failure_detection(velocity: jnp.ndarray, bg: jnp.ndarray,
         | (jnp.linalg.norm(ba) > 1.0)
         | (jnp.linalg.norm(bg) > 1.0)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("gravity", "gain"))
+def velocity_bias_update2(
+    state: ImuState,
+    pre1: PreintegratedImu,  # window pose0 -> pose1
+    pre2: PreintegratedImu,  # window pose1 -> pose2
+    pose0: jnp.ndarray,  # (6,) lidar-optimized poses
+    pose1: jnp.ndarray,
+    pose2: jnp.ndarray,
+    v0_est: jnp.ndarray,  # (3,) velocity estimate at pose0
+    gravity: float,
+    gain: float = 1.0,
+):
+    """TWO-window joint (bg, ba, v) solve from three lidar-anchored poses.
+
+    A single window cannot separate an accel bias from a start-velocity
+    error (both shift delta_p; the bias by -0.5 dt^2, the velocity by dt) —
+    the reference's iSAM2 separates them because consecutive ImuFactors
+    share the velocity variable (subMapOptmizationNode.cpp:2007-2219). This
+    is that same two-factor coupling in closed form: 12 residuals (2x
+    rotation, 2x position) over 9 unknowns [dbg, dba, dv0], solved as one
+    damped 9x9 normal system on device.
+
+    Returns (new ImuState anchored at pose2 with the propagated current
+    velocity, v1) — v1 is the corrected velocity at pose1, which becomes
+    the next call's `v0_est` when the window pair slides by one.
+    """
+    g = jnp.array([0.0, 0.0, -gravity])
+    R0 = se3.euler_to_rot(pose0[:3])
+    R1 = se3.euler_to_rot(pose1[:3])
+    R2 = se3.euler_to_rot(pose2[:3])
+    p0, p1, p2 = pose0[3:], pose1[3:], pose2[3:]
+    dt1 = jnp.maximum(pre1.delta_t, 1e-3)
+    dt2 = jnp.maximum(pre2.delta_t, 1e-3)
+
+    rR1 = se3.so3_log(pre1.delta_R.T @ (R0.T @ R1))
+    rR2 = se3.so3_log(pre2.delta_R.T @ (R1.T @ R2))
+    rp1 = R0.T @ (p1 - p0 - v0_est * dt1 - 0.5 * g * dt1 * dt1) - pre1.delta_p
+    v1_est = v0_est + g * dt1 + R0 @ pre1.delta_v
+    rp2 = R1.T @ (p2 - p1 - v1_est * dt2 - 0.5 * g * dt2 * dt2) - pre2.delta_p
+
+    R1tR0 = R1.T @ R0
+    Z = jnp.zeros((3, 3))
+    I3 = jnp.eye(3)
+    # unknown ordering: [dbg, dba, dv0]
+    J = jnp.concatenate([
+        jnp.concatenate([pre1.dR_dbg, Z, Z], 1),
+        jnp.concatenate([pre2.dR_dbg, Z, Z], 1),
+        jnp.concatenate([pre1.dp_dbg, pre1.dp_dba, R0.T * dt1], 1),
+        jnp.concatenate([
+            pre2.dp_dbg + R1tR0 @ pre1.dv_dbg * dt2,
+            pre2.dp_dba + R1tR0 @ pre1.dv_dba * dt2,
+            R1.T * dt2], 1),
+    ], 0)  # (12, 9)
+    r = jnp.concatenate([rR1, rR2, rp1, rp2])
+    H = J.T @ J + 1e-6 * jnp.eye(9)
+    delta = jnp.linalg.solve(H, J.T @ r)
+    # damped AND step-clamped updates — the bias random walk prior of the
+    # reference's noise model (imuAccBiasN/imuGyrBiasN): biases move slowly,
+    # so one window's residual (which early on is polluted by the raw v0
+    # estimate) cannot fling them across the failure-detection gate
+    dbg = jnp.clip(gain * 0.2 * delta[0:3], -0.05, 0.05)
+    dba = jnp.clip(gain * 0.3 * delta[3:6], -0.1, 0.1)
+    dv0 = gain * 0.5 * delta[6:9]
+
+    bg_new = state.bg + dbg
+    ba_new = state.ba + dba
+    # propagate the corrected velocity to pose2
+    v0 = v0_est + dv0
+    v1 = v0 + g * dt1 + R0 @ (
+        pre1.delta_v + pre1.dv_dbg @ dbg + pre1.dv_dba @ dba)
+    v2 = v1 + g * dt2 + R1 @ (
+        pre2.delta_v + pre2.dv_dbg @ dbg + pre2.dv_dba @ dba)
+    return ImuState(R=R2, v=v2, p=p2, bg=bg_new, ba=ba_new), v1
 
 
 @functools.partial(jax.jit, static_argnames=("gravity", "gain"))
@@ -213,6 +310,8 @@ def velocity_bias_update(
     (the graph there only ever couples consecutive states, so the
     information-form solution collapses to this residual correction).
     """
+    from ..utils import lin
+
     R0 = se3.euler_to_rot(pose_prev[:3])
     p0 = pose_prev[3:]
     p1 = pose_new[3:]
@@ -221,13 +320,13 @@ def velocity_bias_update(
     # velocity consistent with observed displacement and preintegrated delta
     v_obs = (p1 - p0 - 0.5 * g * dt * dt - R0 @ pre.delta_p) / dt
     v_new = state.v + gain * (v_obs - state.v)
-    # gyro bias from rotation residual: R0 dR(b) ~ R1
+    # gyro bias from rotation residual: R0 dR(b) ~ R1. Accel bias is NOT
+    # observable from one window (it is indistinguishable from a start-
+    # velocity error); the steady-state LIO path estimates it jointly over
+    # two windows (velocity_bias_update2).
     R1 = se3.euler_to_rot(pose_new[:3])
     dR_obs = R0.T @ R1
     rot_res = se3.so3_log(pre.delta_R.T @ dR_obs)
-    # dR_dbg maps bias change to rotation change: solve least squares via inv3
-    from ..utils import lin
-
     JtJ = pre.dR_dbg.T @ pre.dR_dbg + 1e-6 * jnp.eye(3)
     dbg = lin.inv3(JtJ) @ (pre.dR_dbg.T @ rot_res)
     bg_new = state.bg + gain * 0.1 * dbg  # damped, like the iSAM2 prior

@@ -258,13 +258,24 @@ def render_scan(
 
     # IMU: constant angular velocity + accel over the sweep
     imu_t = np.linspace(-0.005, sweep_time + 0.005, n_imu)
+    g_w = np.array([0.0, 0.0, -9.80511])
     if next_pose6 is not None:
         rv = (r1 * r0.inv()).as_rotvec() / sweep_time
         # gyro in body frame: w_body = R0^T * w_world (constant twist approx)
         gyro = np.tile((r0.inv().as_matrix() @ rv)[None, :], (n_imu, 1))
+        # specific force: under the constant-twist model the body turns with
+        # w while translating with v, so the world-frame acceleration is the
+        # centripetal term w x v; the accelerometer reads
+        # f_body = R0^T (a_world - g_world). Omitting a_world made the IMU
+        # physically inconsistent with the trajectory — a joint bias
+        # estimator then correctly books w x v as an accel bias.
+        v_w = (np.asarray(next_pose6[3:]) - np.asarray(pose6[3:])) / sweep_time
+        a_w = np.cross(rv, v_w)
+        f_body = r0.inv().as_matrix() @ (a_w - g_w)
+        accel = np.tile(f_body[None, :], (n_imu, 1))
     else:
         gyro = np.zeros((n_imu, 3))
-    accel = np.tile(np.array([[0.0, 0.0, 9.80511]]), (n_imu, 1))
+        accel = np.tile(-g_w[None, :], (n_imu, 1))
 
     # order points in beam-time order (azimuth-major within ring blocks,
     # matching KITTI bin layout: ring-major)

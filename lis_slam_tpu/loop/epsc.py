@@ -244,6 +244,81 @@ def global_icp_batch(sigs1: jnp.ndarray, sig2: jnp.ndarray,
         sigs1, yaw_diffs)
 
 
+def select_descriptor(d: Descriptors, dtype: DescriptorType) -> jnp.ndarray:
+    """Pick the configured descriptor family (the Using*Flag switch)."""
+    return {
+        DescriptorType.SC: d.sc,
+        DescriptorType.ISC: d.isc,
+        DescriptorType.EPSC: d.epsc,
+        DescriptorType.SEPSC: d.sepsc,
+        DescriptorType.SSC: d.ssc,
+        DescriptorType.FEPSC: d.fepsc,
+        DescriptorType.POSE: d.fepsc,
+    }[dtype]
+
+
+class CloudRefs(NamedTuple):
+    """Device references to one keyframe's descriptor input clouds (all in
+    the sensor frame) — what the reference re-projects per candidate
+    (loopDetection transforms the current cloud by the predicted alignment
+    and recomputes the descriptor, epscGeneration.cpp:806-860)."""
+
+    sem_xyz: jnp.ndarray
+    sem_intensity: jnp.ndarray
+    sem_label: jnp.ndarray
+    sem_valid: jnp.ndarray
+    corner_xyz: jnp.ndarray
+    corner_valid: jnp.ndarray
+    surf_xyz: jnp.ndarray
+    surf_valid: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def loop_score_batch(
+    cand_descs: jnp.ndarray,  # (C, R, S) candidates' selected descriptors
+    cand_sigs: jnp.ndarray,  # (C, 360, 4)
+    cur_sig: jnp.ndarray,  # (360, 4)
+    yaw_diffs: jnp.ndarray,  # (C,)
+    clouds: CloudRefs,
+    cfg: LoopClosureConfig,
+):
+    """Evaluate ALL loop candidates in ONE device program
+    (loopDetection, epscGeneration.cpp:663-992): signature alignment
+    (globalICP), per-candidate descriptor recomputation on the transformed
+    current cloud, similarity scoring, and best-candidate selection.
+
+    The round-2 host loop paid a jit dispatch + blocking sync per candidate
+    (~2 x 50 ms each on a tunneled TPU); this is one dispatch total and the
+    (best, score, angle, t2, any) result can be fetched asynchronously.
+    """
+    from ..utils import se3
+
+    R2s, t2s, yaws, oks = jax.vmap(
+        lambda s1, yd: global_icp(s1, cur_sig, yd))(cand_sigs, yaw_diffs)
+
+    def score_one(R2, t2, yaw, cand_desc):
+        T2 = jnp.eye(4).at[:2, :2].set(R2).at[:2, 3].set(t2)
+        d_cur = compute_descriptors(
+            se3.transform_points(T2, clouds.sem_xyz), clouds.sem_intensity,
+            clouds.sem_label, clouds.sem_valid,
+            se3.transform_points(T2, clouds.corner_xyz), clouds.corner_valid,
+            se3.transform_points(T2, clouds.surf_xyz), clouds.surf_valid,
+            cfg,
+        )
+        sel = select_descriptor(d_cur, cfg.descriptor)
+        if cfg.descriptor == DescriptorType.SSC:
+            return label_similarity(cand_desc, sel), yaw
+        return descriptor_distance(cand_desc, sel, yaw, cfg)
+
+    scores, angles = jax.vmap(score_one)(R2s, t2s, yaws, cand_descs)
+    thresh = (cfg.label_threshold
+              if cfg.descriptor == DescriptorType.SSC
+              else cfg.distance_threshold)
+    ok = oks & (scores > thresh)
+    best = jnp.argmax(jnp.where(ok, scores, -1.0))
+    return (best, scores[best], angles[best], t2s[best], jnp.any(ok))
+
+
 class LoopCandidate(NamedTuple):
     matched_id: int
     score: float
@@ -251,98 +326,93 @@ class LoopCandidate(NamedTuple):
 
 
 class LoopDetector:
-    """Host-side descriptor database + per-keyframe loop detection
-    (EPSCGeneration::loopDetection)."""
+    """Host-side candidate gating + device-resident descriptor database
+    (EPSCGeneration::loopDetection). Descriptors and signatures are kept as
+    device arrays — nothing is read back on the hot path; candidate scoring
+    is one async device call (`loop_score_batch`)."""
 
     def __init__(self, cfg: LoopClosureConfig):
         self.cfg = cfg
-        self.descs: list[Descriptors] = []
+        self.descs: list[jnp.ndarray] = []  # selected (R, S) per keyframe
+        self.sigs: list[jnp.ndarray] = []  # (360, 4) per keyframe
         self.poses: list[np.ndarray] = []  # (x, y, yaw)
         self.travel: list[float] = []
-        self._sig_db: np.ndarray | None = None  # (N, 360, 4) stacked
 
-    def _select(self, d: Descriptors) -> jnp.ndarray:
-        return {
-            DescriptorType.SC: d.sc,
-            DescriptorType.ISC: d.isc,
-            DescriptorType.EPSC: d.epsc,
-            DescriptorType.SEPSC: d.sepsc,
-            DescriptorType.SSC: d.ssc,
-            DescriptorType.FEPSC: d.fepsc,
-            DescriptorType.POSE: d.fepsc,
-        }[self.cfg.descriptor]
-
-    def add_and_detect(self, desc: Descriptors, pose_xyyaw: np.ndarray,
-                       recompute,
-                       signature_np: np.ndarray | None = None,
-                       ) -> list[LoopCandidate]:
-        """desc: descriptors of the current keyframe (sensor frame).
-        recompute(R2, t2): callback -> Descriptors of the current cloud
-        transformed by the candidate alignment (the reference recomputes
-        descriptors on the transformed cloud). `signature_np`: the already
-        host-materialized signature (saves a ~50 ms readback on tunneled
-        devices)."""
+    # ------------------------------------------------------------------
+    def gate(self, pose_xyyaw: np.ndarray) -> np.ndarray:
+        """Candidate gate (loopDetection :736-740): travelled >
+        SKIP_NEIBOUR_DISTANCE and position error < travel *
+        INFLATION_COVARIANCE; nearest-first, capped at max_candidates.
+        Pure host arithmetic over the pose/travel lists."""
         cfg = self.cfg
+        cur_id = len(self.poses)
+        if not cur_id:
+            return np.empty(0, np.int64)
+        last_travel = (self.travel[-1] + float(
+            np.linalg.norm(pose_xyyaw[:2] - self.poses[-1][:2])))
+        poses_np = np.asarray(self.poses)
+        travel_np = np.asarray(self.travel)
+        delta_travel = last_travel - travel_np[:cur_id]
+        pos_dist = np.linalg.norm(
+            pose_xyyaw[None, :2] - poses_np[:cur_id, :2], axis=1)
+        ok_gate = (delta_travel > cfg.skip_neighbor_distance) & (
+            pos_dist < delta_travel * cfg.inflation_covariance)
+        ids = np.nonzero(ok_gate)[0]
+        return ids[np.argsort(pos_dist[ids])][: cfg.max_candidates]
+
+    # ------------------------------------------------------------------
+    def score_async(self, ids: np.ndarray, cur_sig: jnp.ndarray,
+                    clouds: CloudRefs, pose_xyyaw: np.ndarray):
+        """Dispatch the batched candidate scoring; returns the device result
+        tuple (best_j, score, angle, t2, any_ok) WITHOUT syncing."""
+        cfg = self.cfg
+        pad = cfg.max_candidates - len(ids)
+        ids_p = np.concatenate([ids, np.repeat(ids[:1], pad)])
+        cand_descs = jnp.stack([self.descs[i] for i in ids_p])
+        cand_sigs = jnp.stack([self.sigs[i] for i in ids_p])
+        yaw_diffs = jnp.asarray(
+            pose_xyyaw[2] - np.asarray(self.poses)[ids_p, 2], jnp.float32)
+        return loop_score_batch(
+            cand_descs, cand_sigs, cur_sig, yaw_diffs, clouds, cfg)
+
+    @staticmethod
+    def result_to_candidate(ids: np.ndarray, fetched) -> LoopCandidate | None:
+        """Convert a host-fetched score_async result into a LoopCandidate."""
+        best_j, score, angle, t2, any_ok = fetched
+        if not bool(any_ok):
+            return None
+        T = np.eye(4)
+        ca, sa = np.cos(float(angle)), np.sin(float(angle))
+        T[:2, :2] = [[ca, -sa], [sa, ca]]
+        T[:2, 3] = np.asarray(t2)
+        return LoopCandidate(
+            matched_id=int(ids[int(best_j)]), score=float(score), transform=T)
+
+    # ------------------------------------------------------------------
+    def append(self, desc_sel: jnp.ndarray, sig: jnp.ndarray,
+               pose_xyyaw: np.ndarray):
+        """Insert the current keyframe into the database (device refs)."""
         if self.travel:
-            step_d = float(np.linalg.norm(pose_xyyaw[:2] - self.poses[-1][:2]))
+            step_d = float(np.linalg.norm(
+                pose_xyyaw[:2] - self.poses[-1][:2]))
             self.travel.append(self.travel[-1] + step_d)
         else:
             self.travel.append(0.0)
-
-        cur_id = len(self.poses)
-        # vectorized candidate gate (loopDetection :736-740)
-        if cur_id:
-            poses_np = np.asarray(self.poses)
-            travel_np = np.asarray(self.travel)
-            delta_travel = self.travel[-1] - travel_np[:cur_id]
-            pos_dist = np.linalg.norm(
-                pose_xyyaw[None, :2] - poses_np[:cur_id, :2], axis=1)
-            ok_gate = (delta_travel > cfg.skip_neighbor_distance) & (
-                pos_dist < delta_travel * cfg.inflation_covariance)
-            ids = np.nonzero(ok_gate)[0]
-            ids = ids[np.argsort(pos_dist[ids])][: cfg.max_candidates]
-        else:
-            ids = np.empty(0, np.int64)
-
-        best: LoopCandidate | None = None
-        if len(ids):
-            # ONE padded batched device call for all candidate alignments
-            pad = cfg.max_candidates - len(ids)
-            ids_p = np.concatenate([ids, np.repeat(ids[:1], pad)])
-            sigs = jnp.asarray(self._sig_db[ids_p])
-            yaw_diffs = jnp.asarray(
-                pose_xyyaw[2] - np.asarray(self.poses)[ids_p, 2],
-                dtype=jnp.float32)
-            R2s, t2s, yaws, oks = jax.tree_util.tree_map(
-                np.asarray,
-                global_icp_batch(sigs, desc.signature, yaw_diffs))
-        for j, i in enumerate(ids):
-            if not bool(oks[j]):
-                continue
-            R2, t2, yaw = R2s[j], t2s[j], jnp.float32(yaws[j])
-            d_cur = recompute(np.asarray(R2), np.asarray(t2))
-            if cfg.descriptor == DescriptorType.SSC:
-                score = float(label_similarity(
-                    self._select(self.descs[i]), self._select(d_cur)))
-                thresh = cfg.label_threshold
-                angle = float(yaw)
-            else:
-                score, angle = descriptor_distance(
-                    self._select(self.descs[i]), self._select(d_cur),
-                    yaw, cfg)
-                score, angle = float(score), float(angle)
-                thresh = cfg.distance_threshold
-            if score > thresh and (best is None or score > best.score):
-                T = np.eye(4)
-                ca, sa = np.cos(angle), np.sin(angle)
-                T[:2, :2] = [[ca, -sa], [sa, ca]]
-                T[:2, 3] = np.asarray(t2)
-                best = LoopCandidate(matched_id=i, score=score, transform=T)
-
-        self.descs.append(desc)
+        self.descs.append(desc_sel)
+        self.sigs.append(sig)
         self.poses.append(np.asarray(pose_xyyaw, dtype=np.float64))
-        sig_np = (np.asarray(desc.signature)
-                  if signature_np is None else signature_np)[None]
-        self._sig_db = (sig_np if self._sig_db is None
-                        else np.concatenate([self._sig_db, sig_np]))
+
+    # ------------------------------------------------------------------
+    def add_and_detect(self, desc: Descriptors, pose_xyyaw: np.ndarray,
+                       clouds: CloudRefs) -> list[LoopCandidate]:
+        """Synchronous convenience wrapper: gate + score (blocking) +
+        append. The SLAM pipeline uses the async pieces directly."""
+        ids = self.gate(pose_xyyaw)
+        best = None
+        if len(ids):
+            res = self.score_async(
+                ids, desc.signature, clouds, pose_xyyaw)
+            best = self.result_to_candidate(ids, jax.device_get(res))
+        self.append(select_descriptor(desc, self.cfg.descriptor),
+                    desc.signature, pose_xyyaw)
         return [best] if best is not None else []

@@ -71,6 +71,10 @@ class SubMap:
     kf_indices: list = field(default_factory=list)
     kf_rel_poses: list = field(default_factory=list)  # T_submap^-1 @ T_kf
     bbox: np.ndarray | None = None  # (2, 3) min/max
+    # merged per-category semantic clouds (submap_t carries 5 class clouds,
+    # subMap.h:435-664), world frame; None when semantics are off
+    class_xyz: jnp.ndarray | None = None  # (5, C, 3)
+    class_mask: jnp.ndarray | None = None  # (5, C)
 
     def recompute_bbox(self):
         pts = np.asarray(self.surf_xyz)[np.asarray(self.surf_mask)]
@@ -156,6 +160,10 @@ class SubMapCollector:
         self.accu_frame = 0
         self._cur_kfs: list[Keyframe] = []
         self._last_pose: np.ndarray | None = None
+        # merge per-category clouds on close (set by the pipeline when
+        # per-point labels are flowing; keyframe ClassClouds are zeros
+        # otherwise and merging them would be wasted device work)
+        self.merge_classes = False
 
     def add_keyframe(self, kf: Keyframe) -> SubMap | None:
         """Returns a finished SubMap when the cut criterion fires."""
@@ -192,18 +200,24 @@ class SubMapCollector:
         from ..ops import voxel as _voxel
         from ..utils import se3 as _se3
 
+        # pad the member count to a FIXED size so every submap close reuses
+        # one compiled program per cloud type (a varying concat length would
+        # recompile per distinct keyframe count — ~30-60 s each through the
+        # TPU remote-compile relay)
+        n_pad = self.cfg.frames_size + 1
+
         def merge(xyz_list, mask_list, capacity, leaf):
             pts = []
             for kf, xyz, m in zip(kfs, xyz_list, mask_list):
                 T = jnp.asarray(kf.pose_init, dtype=jnp.float32)
                 pts.append((_se3.transform_points(T, xyz), m))
-            allp = jnp.concatenate([p for p, _ in pts])
-            allm = jnp.concatenate([m for _, m in pts])
-            # host-rate call; use the unjitted body (a jax executable-cache
-            # collision was observed mixing this call with unrelated kernels
-            # under certain call orders — see tests/test_icp_submap.py)
-            out, om, _ = _voxel.voxel_downsample.__wrapped__(
-                allp, allm, leaf, capacity)
+            per = pts[0][0].shape[0]
+            for _ in range(len(kfs), n_pad):
+                pts.append((jnp.zeros((per, 3), jnp.float32),
+                            jnp.zeros((per,), bool)))
+            allp = jnp.concatenate([p for p, _ in pts[:n_pad]])
+            allm = jnp.concatenate([m for _, m in pts[:n_pad]])
+            out, om, _ = _voxel.voxel_downsample(allp, allm, leaf, capacity)
             return out, om
 
         # submap voxel leaves (params.yaml subMapCornerLeafSize/subMapSurfLeafSize)
@@ -215,6 +229,27 @@ class SubMapCollector:
             [kf.surf_xyz for kf in kfs], [kf.surf_mask for kf in kfs],
             self.cfg.surf_capacity, 0.4,
         )
+        # per-category clouds (submap_t's 5 merged class clouds,
+        # subMap.h:435-664): transform each keyframe's ClassClouds to world,
+        # concat, voxel-compact per class
+        class_xyz = class_mask = None
+        if self.merge_classes:
+            per_class_pts, per_class_m = [], []
+            for kf in kfs:
+                T = jnp.asarray(kf.pose_init, dtype=jnp.float32)
+                per_class_pts.append(jax.vmap(
+                    lambda p: _se3.transform_points(T, p))(kf.clouds.xyz))
+                per_class_m.append(kf.clouds.mask)
+            qk = per_class_pts[0].shape[1]
+            for _ in range(len(kfs), n_pad):
+                per_class_pts.append(jnp.zeros((5, qk, 3), jnp.float32))
+                per_class_m.append(jnp.zeros((5, qk), bool))
+            allp = jnp.concatenate(per_class_pts[:n_pad], axis=1)
+            allm = jnp.concatenate(per_class_m[:n_pad], axis=1)
+            ds = jax.vmap(
+                lambda p, m: _voxel.voxel_downsample(
+                    p, m, 0.4, self.cfg.class_capacity))(allp, allm)
+            class_xyz, class_mask = ds[0], ds[1]
         sm = SubMap(
             index=len(self.submaps),
             pose_init=base,
@@ -223,6 +258,7 @@ class SubMapCollector:
             surf_xyz=surf, surf_mask=surf_m,
             kf_indices=[kf.index for kf in kfs],
             kf_rel_poses=[base_inv @ kf.pose_init for kf in kfs],
+            class_xyz=class_xyz, class_mask=class_mask,
         )
         for kf in kfs:
             kf.submap_id = sm.index

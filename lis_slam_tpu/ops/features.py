@@ -21,13 +21,14 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import FeatureConfig
 from .projection import ExtractedCloud
 
-_BIG = jnp.float32(1e18)
+_BIG = np.float32(1e18)  # numpy: inlined at trace (see ops/voxel.py)
 
 
 class FeatureClouds(NamedTuple):

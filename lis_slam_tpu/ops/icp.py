@@ -89,6 +89,13 @@ def icp(
             normal = diff / dist[:, None]
             resid = dist
             ok = src_mask & (d[:, 0] < max_correspond_dist**2)
+        # rows without valid correspondences can carry NaN normals (plane
+        # fit through a degenerate / sentinel-gathered neighborhood); a
+        # 0-weight times NaN still poisons the GN reductions, so zero them
+        # explicitly before they enter the solve
+        ok = ok & jnp.all(jnp.isfinite(normal), axis=-1) & jnp.isfinite(resid)
+        normal = jnp.where(ok[:, None], normal, 0.0)
+        resid = jnp.where(ok, resid, 0.0)
         w = ok.astype(jnp.float32)
         dx = _gn_se3_step(moved, tgt, normal, resid, w)
         n_in = jnp.sum(ok.astype(jnp.int32))

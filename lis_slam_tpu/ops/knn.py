@@ -24,10 +24,11 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(3e38)
+_INF = np.float32(3e38)  # numpy: inlined at trace (see ops/voxel.py)
 
 
 def _chunk_topk(q, qn, ref_chunk, ref_mask_chunk, k):

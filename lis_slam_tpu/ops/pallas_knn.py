@@ -198,7 +198,12 @@ def knn_pallas(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact k-NN. Returns (sq_dists (Q,k) ascending, indices (Q,k),
     neighbor coords (Q,k,3)). With `max_sq_dist`, neighbors beyond that
-    radius are not searched for: their slots return d=inf, index=-1."""
+    radius are not searched for: their slots return d=inf, index=-1.
+
+    Index -1 is the universal "unfilled slot" sentinel — it also appears
+    WITHOUT max_sq_dist when the reference cloud has fewer than k valid
+    points; callers gathering by index must check the distance (or index
+    >= 0) first."""
     q_n, n = query.shape[0], ref.shape[0]
     padq = (-q_n) % query_block
     if padq:

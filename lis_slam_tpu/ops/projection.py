@@ -18,12 +18,13 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import SensorConfig
 
-_INVALID_RANGE = jnp.float32(1e9)
+_INVALID_RANGE = np.float32(1e9)  # numpy: inlined at trace (see ops/voxel.py)
 
 
 class RangeImage(NamedTuple):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -138,6 +139,11 @@ class GNState(NamedTuple):
     converged: jnp.ndarray  # () bool
     n_valid: jnp.ndarray  # () int32
     it: jnp.ndarray  # () int32
+    # last-step update magnitudes (deltaR in degrees, deltaT in cm) — the
+    # reference's keyframe gate preconditions on these
+    # (odomEstimationNode.cpp:216 `if (deltaR < 0.005 || deltaT < 0.05)`)
+    delta_r: jnp.ndarray = jnp.float32(0.0)
+    delta_t: jnp.ndarray = jnp.float32(0.0)
 
 
 def gauss_newton_update(
@@ -192,10 +198,10 @@ def gauss_newton_update(
     converged = (
         (delta_r < cfg.converge_delta_r_deg) & (delta_t < cfg.converge_delta_t_cm)
     ) | ~enough
-    return new_pose, proj, degenerate, converged, n_valid
+    return new_pose, proj, degenerate, converged, n_valid, delta_r, delta_t
 
 
-_BIGD = jnp.float32(3e38)
+_BIGD = np.float32(3e38)  # numpy: inlined at trace (see ops/voxel.py note)
 
 
 def _rerank_neighbors(pts_world, cand_pts, cand_valid, k):
@@ -309,14 +315,14 @@ def scan_to_map(
         coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
         res = jnp.concatenate([cc.residual, sc.residual], axis=0)
         val = jnp.concatenate([cc.valid, sc.valid], axis=0)
-        new_pose, proj, degen, conv, n_valid = gauss_newton_update(
+        new_pose, proj, degen, conv, n_valid, d_r, d_t = gauss_newton_update(
             state.pose, pts, coeff, res, val, state.it, state.proj,
             state.degenerate, cfg,
         )
         return (
             GNState(
                 pose=new_pose, proj=proj, degenerate=degen, converged=conv,
-                n_valid=n_valid, it=state.it + 1,
+                n_valid=n_valid, it=state.it + 1, delta_r=d_r, delta_t=d_t,
             ),
             cache,
         )
@@ -328,6 +334,8 @@ def scan_to_map(
         converged=jnp.bool_(False),
         n_valid=jnp.int32(0),
         it=jnp.int32(0),
+        delta_r=jnp.float32(0.0),
+        delta_t=jnp.float32(0.0),
     )
     out, _ = jax.lax.while_loop(cond, body, (init, cache0))
     return out
@@ -387,6 +395,8 @@ def scan_to_map_scheduled(
         converged=jnp.bool_(False),
         n_valid=jnp.int32(0),
         it=jnp.int32(0),
+        delta_r=jnp.float32(0.0),
+        delta_t=jnp.float32(0.0),
     )
     cache = search(pose0)
     pts = jnp.concatenate([corner_pts, surf_pts], axis=0)
@@ -408,7 +418,7 @@ def scan_to_map_scheduled(
         coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
         res = jnp.concatenate([cc.residual, sc.residual], axis=0)
         val = jnp.concatenate([cc.valid, sc.valid], axis=0)
-        new_pose, proj, degen, conv, n_valid = gauss_newton_update(
+        new_pose, proj, degen, conv, n_valid, d_r, d_t = gauss_newton_update(
             state.pose, pts, coeff, res, val, state.it, state.proj,
             state.degenerate, cfg,
         )
@@ -420,5 +430,7 @@ def scan_to_map_scheduled(
             converged=state.converged | conv,
             n_valid=jnp.where(active, n_valid, state.n_valid),
             it=state.it + active.astype(jnp.int32),
+            delta_r=jnp.where(active, d_r, state.delta_r),
+            delta_t=jnp.where(active, d_t, state.delta_t),
         )
     return state

@@ -14,10 +14,17 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a module-level jnp scalar is a device buffer
+# created on import; closed over in jitted fns it becomes a LIFTED
+# executable parameter, and the runtime arg-passing fast path can
+# disagree with the lifting decision ("supplied 2 buffers but compiled
+# program expected 4", see tests/test_knn_voxel.py cache-collision
+# regression). numpy scalars inline as literals at trace time.
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 # Exact packed voxel key, collision-free within a 4096 x 4096 x 255 cell
 # window around the cloud's own min corner (e.g. 819 m x 819 m x 51 m at a
@@ -93,33 +100,42 @@ def voxel_downsample(
     representative positions by at most leaf/2.
     """
     h = jnp.where(mask, _voxel_key(points, mask, leaf), _SENTINEL)
-    order = jnp.argsort(h)
-    hs = h[order]
-    ps = points[order]
-    ms = mask[order]
-    is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]]) & ms
+    n = points.shape[0]
     if centroid:
+        order = jnp.argsort(h)
+        hs = h[order]
+        ps = points[order]
+        ms = mask[order]
+        is_new = jnp.concatenate(
+            [jnp.ones(1, bool), hs[1:] != hs[:-1]]) & ms
         seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
         dest = jnp.where(ms & (seg < capacity) & (seg >= 0), seg, capacity)
         sums = jnp.zeros((capacity + 1, 3), points.dtype).at[dest].add(ps)
         cnts = jnp.zeros((capacity + 1,), jnp.int32).at[dest].add(1)
         out = sums[:capacity] / jnp.maximum(cnts[:capacity, None], 1)
         out_mask = cnts[:capacity] > 0
-    else:
-        # compact representatives to the front with a second (cheap) sort:
-        # order2 sorts "is_new first, stable in voxel-key order"
-        n = ps.shape[0]
-        rank = jnp.where(is_new, jnp.arange(n, dtype=jnp.int32),
-                         jnp.int32(n) + jnp.arange(n, dtype=jnp.int32))
-        order2 = jnp.argsort(rank)
-        reps = ps[order2[:capacity]] if capacity <= n else jnp.pad(
-            ps[order2], ((0, capacity - n), (0, 0)))
-        k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
-        out = reps
-        out_mask = jnp.arange(capacity) < k
-        out = jnp.where(out_mask[:, None], out, 0.0)
-    n_vox = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
-    return out, out_mask, n_vox
+        n_vox = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
+        return out, out_mask, n_vox
+    # payload rides INSIDE both sorting networks (multi-operand lax.sort):
+    # argsort + random gathers cost 3-6 ms per 100k rows on this TPU (same
+    # optimization as voxel_merge_aged). The iota second key keeps the
+    # first-in-input-order point per voxel (stability).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    s = jax.lax.sort(
+        (h, iota, points[:, 0], points[:, 1], points[:, 2]), num_keys=2)
+    hs = s[0]
+    is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
+    is_new = is_new & (hs != _SENTINEL)
+    rank = jnp.where(is_new, iota, jnp.int32(n) + iota)
+    s2 = jax.lax.sort((rank, s[2], s[3], s[4]), num_keys=1)
+    k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
+    out_mask = jnp.arange(capacity) < k
+    reps = jnp.stack([s2[1][:capacity], s2[2][:capacity],
+                      s2[3][:capacity]], 1)
+    if capacity > n:
+        reps = jnp.pad(reps, ((0, capacity - n), (0, 0)))
+    out = jnp.where(out_mask[:, None], reps, 0.0)
+    return out, out_mask, k
 
 
 @functools.partial(jax.jit, static_argnames=("leaf", "capacity"))

@@ -98,13 +98,15 @@ def replay_odometry(scans, cfg: SlamConfig, warmup: int = 0,
             sin = pad_scan(np.asarray(scan), cfg)
         state, out = step(state, sin, cfg)
         if i + 1 == warmup:
-            jax.block_until_ready(state)
+            # axon: only a D2H materialization synchronizes (block_until_
+            # ready can return before the async remote execution finishes)
+            jax.device_get(out.pose)
             t0 = time.perf_counter()
         poses.append(np.asarray(out.pose))
         kfs.append(bool(out.is_keyframe))
         nvs.append(int(out.n_valid))
         its.append(int(out.iterations))
-    jax.block_until_ready(state)
+    jax.device_get(out.pose)
     wall = time.perf_counter() - (t0 if t0 is not None else time.perf_counter())
     n_timed = len(poses) - warmup if t0 is not None else 0
     return ReplayResult(

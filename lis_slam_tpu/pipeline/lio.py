@@ -42,12 +42,29 @@ def _lio_prestep(imu_time, gyro, accel, valid, imu_state, cfg):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _lio_poststep(imu_state, pre, last_pose6, pose6, cfg):
-    """Bias/velocity refresh + failure flag in one device program."""
+def _lio_poststep2(imu_state, pre1, pre2, pose0, pose1, pose2, v0_est,
+                   fail_acc, cfg):
+    """Two-window bias/velocity solve + sticky failure latch in one device
+    program (the steady-state path: separates accel bias from velocity the
+    way consecutive iSAM2 ImuFactors do)."""
+    new_state, v1 = pi.velocity_bias_update2(
+        imu_state, pre1, pre2, pose0, pose1, pose2, v0_est, cfg.imu.gravity)
+    fail = pi.failure_detection(new_state.v, new_state.bg, new_state.ba)
+    return new_state, v1, fail_acc | fail
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _lio_poststep(imu_state, pre, last_pose6, pose6, fail_acc, cfg):
+    """Bias/velocity refresh + STICKY failure flag in one device program.
+
+    The accumulator makes the sampled host-side check lossless: a divergence
+    on any scan of the window stays latched until the host reads and resets
+    it (the reference runs failureDetection on every update,
+    subMapOptmizationNode.cpp:2153-2156)."""
     new_state = pi.velocity_bias_update(
         imu_state, pre, last_pose6, pose6, cfg.imu.gravity)
     fail = pi.failure_detection(new_state.v, new_state.bg, new_state.ba)
-    return new_state, fail
+    return new_state, fail_acc | fail
 
 
 @dataclass
@@ -69,6 +86,11 @@ class LioOdometry:
         )
         self.diag = LioDiagnostics()
         self._last_pose6: np.ndarray | None = None
+        self._fail_acc = jnp.bool_(False)  # sticky device-side failure latch
+        # sliding window pair for the two-window bias solve
+        self._prev_pre = None  # preintegration of the previous window
+        self._prev_pose6 = None  # pose at that window's start (pose0)
+        self._v0 = jnp.zeros(3)  # velocity estimate at pose0
 
     def _reset_imu(self):
         """resetParams equivalent: re-anchor at the current lidar pose."""
@@ -78,6 +100,9 @@ class LioOdometry:
             v=jnp.zeros(3), p=jnp.asarray(pose[3:]),
             bg=jnp.zeros(3), ba=jnp.zeros(3),
         )
+        self._prev_pre = None
+        self._prev_pose6 = None
+        self._v0 = jnp.zeros(3)
         self.diag.n_resets += 1
 
     def process_scan(
@@ -89,7 +114,7 @@ class LioOdometry:
         scan_start: float,
         imu_rpy: np.ndarray | None = None,  # (3,) orientation at scan start
         failure_check_every: int = 10,
-    ) -> np.ndarray:
+    ) -> jnp.ndarray:
         """Returns the pose6 as a DEVICE array: the whole IMU+odometry chain
         stays on-device with zero per-scan host readbacks (a blocking D2H
         sync costs ~50 ms through a tunneled TPU; the reference's node graph
@@ -127,7 +152,10 @@ class LioOdometry:
             extra["init_guess"] = guess
             extra["init_guess_valid"] = jnp.bool_(True)
         if imu_rpy is not None:
-            extra["imu_rpy"] = jnp.asarray(imu_rpy, jnp.float32)
+            # absolute-orientation remap (imuConverter extRPY path,
+            # utility.h:500-508) — distinct from the extRot rate rotation
+            rpy = pi.remap_imu_orientation(imu_rpy, cfg.imu)
+            extra["imu_rpy"] = jnp.asarray(rpy, jnp.float32)
             extra["imu_rpy_valid"] = jnp.bool_(True)
         if extra:
             sin = sin._replace(**extra)
@@ -135,14 +163,30 @@ class LioOdometry:
         self.state, out = odometry.odom_step(self.state, sin, cfg)
         pose6 = out.pose  # device array; no readback
 
-        # --- velocity/bias refresh from the lidar pose pair ---
+        # --- velocity/bias refresh from the lidar pose anchors ---
         if pre is not None and self._last_pose6 is not None:
-            self.imu_state, fail = _lio_poststep(
-                self.imu_state, pre,
-                jnp.asarray(self._last_pose6, jnp.float32), pose6, cfg)
-            if (self.diag.n_scans % failure_check_every == 0
-                    and bool(fail)):
-                self._reset_imu()
+            last6 = jnp.asarray(self._last_pose6, jnp.float32)
+            if self._prev_pre is not None:
+                # steady state: two-window joint (bg, ba, v) solve
+                (self.imu_state, self._v0,
+                 self._fail_acc) = _lio_poststep2(
+                    self.imu_state, self._prev_pre, pre,
+                    self._prev_pose6, last6, pose6, self._v0,
+                    self._fail_acc, cfg)
+            else:
+                # first window after (re)init: single-window refresh
+                self.imu_state, self._fail_acc = _lio_poststep(
+                    self.imu_state, pre, last6, pose6,
+                    self._fail_acc, cfg)
+                self._v0 = jnp.zeros(3)
+            self._prev_pre = pre
+            self._prev_pose6 = last6
+            # sampled host readback of the STICKY latch: one D2H sync per
+            # failure_check_every scans, but no divergence event is dropped
+            if self.diag.n_scans % failure_check_every == 0:
+                if bool(self._fail_acc):
+                    self._reset_imu()
+                self._fail_acc = jnp.bool_(False)
         else:
             self.imu_state = self.imu_state._replace(
                 R=se3.euler_to_rot(pose6[:3]),

@@ -180,16 +180,25 @@ def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,
 
 
 def _keyframe_gate(pose: jnp.ndarray, last_kf_pose: jnp.ndarray,
-                   kf_count: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
-    """saveKeyFrames motion gate (odomEstimationNode.cpp:216-228)."""
-    dist = jnp.linalg.norm(pose[3:] - last_kf_pose[3:])
-    dyaw = jnp.abs(pose[2] - last_kf_pose[2])
-    dyaw = jnp.minimum(dyaw, 2 * jnp.pi - dyaw)
-    return (
-        (kf_count == 0)
-        | (dist > cfg.keyframe.min_distance)
-        | (dyaw > cfg.keyframe.min_yaw)
+                   kf_count: jnp.ndarray, gn, cfg: SlamConfig) -> jnp.ndarray:
+    """saveKeyFrames gate (odomEstimationNode.cpp:216-228): the solver must
+    have converged this scan (`if (deltaR < 0.005 || deltaT < 0.05)` on the
+    last LM step), then keyframe on the first frames (keyFrameId <= 5) or on
+    per-axis motion of the relative transform since the last keyframe
+    (calculateTranslation -> transformCurFrame2PriFrame |yaw|/|x|/|y|)."""
+    T_last = se3.pose_to_matrix(last_kf_pose)
+    T_cur = se3.pose_to_matrix(pose)
+    rel = se3.matrix_to_pose(se3.transform_inverse(T_last) @ T_cur)
+    motion = (
+        (jnp.abs(rel[2]) >= cfg.keyframe.min_yaw)
+        | (jnp.abs(rel[3]) >= cfg.keyframe.min_distance)
+        | (jnp.abs(rel[4]) >= cfg.keyframe.min_distance)
     )
+    conv = (
+        (gn.delta_r < cfg.matching.converge_delta_r_deg)
+        | (gn.delta_t < cfg.matching.converge_delta_t_cm)
+    )
+    return conv & ((kf_count <= 5) | motion)
 
 
 def _insert_keyframe_masked(state: OdomState, fc: feat_ops.FeatureClouds,
@@ -306,7 +315,7 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
     pose = pose.at[5].set(se3.constrain_angle(pose[5], cfg.runtime.z_tolerance))
 
     # ---- keyframe insert + map rebuild (saveKeyFrames) ----
-    is_kf = _keyframe_gate(pose, state.last_kf_pose, state.kf_count, cfg)
+    is_kf = _keyframe_gate(pose, state.last_kf_pose, state.kf_count, gn, cfg)
     if uniform:
         state = _insert_keyframe_masked(state, fc, pose, is_kf, cfg)
     else:
@@ -335,18 +344,20 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
         n_valid=gn.n_valid,
         iterations=gn.it,
     )
-    return state, out
+    return state, out, fc
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def odom_step(state: OdomState, scan: ScanInput,
               cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
     """Single-sequence per-scan step (keyframe insert under lax.cond)."""
-    return _odom_step_impl(state, scan, cfg, uniform=False)
+    state, out, _fc = _odom_step_impl(state, scan, cfg, uniform=False)
+    return state, out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def odom_step_uniform(state: OdomState, scan: ScanInput,
                       cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
     """Cond-free per-scan step for vmapped multi-sequence replay."""
-    return _odom_step_impl(state, scan, cfg, uniform=True)
+    state, out, _fc = _odom_step_impl(state, scan, cfg, uniform=True)
+    return state, out

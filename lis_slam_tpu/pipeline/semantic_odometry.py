@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from .. import labels as L
 from ..config import SlamConfig
-from ..ops import pretreatment, projection, scan_match, voxel
+from ..ops import icp as icp_ops
+from ..ops import knn, pretreatment, projection, scan_match, voxel
 from ..semantic import fusion
 from ..utils import se3
 from . import odometry
@@ -63,6 +64,11 @@ class SemanticScan(NamedTuple):
     surf_w: jnp.ndarray
     surf_mask: jnp.ndarray
     surf_is_dynamic: jnp.ndarray  # (Qs,) dynamic-class flag
+    # per-category keyframe clouds (keyframe_t's 5 semantic class clouds,
+    # subMap.h:237-428, voxel-downsampled as keyframeInit :807-821 does);
+    # category order follows labels.CATEGORY_IDS
+    class_xyz: jnp.ndarray  # (5, Qk, 3)
+    class_mask: jnp.ndarray  # (5, Qk)
 
 
 def _caps(cfg: SlamConfig):
@@ -153,10 +159,26 @@ def build_semantic_scan(scan: odometry.ScanInput, labels: jnp.ndarray,
     c_xyz, c_w, _, c_mask = compact(corner_sel, w, w, qc)
     s_xyz, s_w, s_dyn, s_mask = compact(
         surf_sel, w, dyn_sel.astype(jnp.float32), qs)
+
+    # --- per-category keyframe clouds (keyframe_t semantic clouds +
+    # per-class voxel downsample, subMapOptmizationNode.cpp:807-821) ---
+    qk = cfg.submap.keyframe_class_capacity
+    class_bufs, class_masks = [], []
+    for k in range(len(L.CATEGORY_IDS)):
+        sel = (cat == k) & img.mask
+        xyz_k, _w, _e, m_k = compact(sel, w, w, qk)
+        leaf = (cfg.voxel.submap_corner_leaf if k == pole_idx
+                else cfg.voxel.submap_surf_leaf)
+        xyz_k, m_k, _n = voxel.voxel_downsample(xyz_k, m_k, leaf, qk)
+        class_bufs.append(xyz_k)
+        class_masks.append(m_k)
+
     return SemanticScan(
         corner_xyz=c_xyz, corner_w=c_w, corner_mask=c_mask,
         surf_xyz=s_xyz, surf_w=s_w, surf_mask=s_mask,
         surf_is_dynamic=s_dyn > 0.5,
+        class_xyz=jnp.stack(class_bufs),
+        class_mask=jnp.stack(class_masks),
     )
 
 
@@ -176,6 +198,32 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
         surf_sem_weight=sscan.surf_w,
     )
     pose = jnp.where(first, pose_guess, gn.pose)
+
+    # --- ICP fallback (icpAlignment / scan2SubMapOptimizationICP,
+    # subMapOptmizationNode.cpp:1435-1507): when the semantic-weighted GN
+    # solve is degenerate or fails to converge, re-align the current surf
+    # cloud against the local map by point-to-plane ICP; on a fitness score
+    # <= 3.0 the reference accepts yaw/x/y only (:1482-1487). Runs under
+    # lax.cond so the well-conditioned common case never pays for it. ---
+    if cfg.matching.icp_fallback:
+        def run_fallback(pose_in):
+            h = knn.build_hash(state.surf_pts, state.surf_mask,
+                               cell_size=1.0, table_size=1 << 14)
+            res = icp_ops.icp(
+                sscan.surf_xyz, sscan.surf_mask, state.surf_pts, h,
+                se3.pose_to_matrix(pose_in),
+                max_correspond_dist=1.0, max_iterations=30,
+                point_to_plane=True)
+            p = se3.matrix_to_pose(res.transform)
+            # the reference gates on fitness alone (:1482) — a degenerate
+            # scene may never meet the step-size convergence test because
+            # the unobservable direction keeps sliding
+            ok = (res.fitness <= 3.0) & jnp.all(jnp.isfinite(p))
+            out = pose_in.at[2].set(p[2]).at[3].set(p[3]).at[4].set(p[4])
+            return jnp.where(ok, out, pose_in)
+
+        need = (~first) & (gn.degenerate | ~gn.converged)
+        pose = jax.lax.cond(need, run_fallback, lambda p: p, pose)
 
     # --- update the semantic local map ---
     T = se3.pose_to_matrix(pose)

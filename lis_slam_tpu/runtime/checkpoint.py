@@ -51,8 +51,10 @@ def save_slam(path: str, system) -> None:
     semantic-odometry device state, per-scan poses, keyframe store, submap
     store, pose graph, loop-detector database. The reference supports no
     mid-run persistence at all; this enables stop/resume of long replays."""
+    system.flush_pipeline()  # quiesce deferred loop/verify/drain queues
+
     arrs: dict[str, np.ndarray] = {}
-    meta: dict = {"version": 2}
+    meta: dict = {"version": 3}
 
     for tag, tree in (("odom", system.state), ("sem", system.sem_state)):
         leaves, _ = jax.tree_util.tree_flatten(tree)
@@ -63,10 +65,15 @@ def save_slam(path: str, system) -> None:
     arrs["scan_poses"] = np.asarray(system.scan_poses).reshape(-1, 6)
     arrs["kf_scan_ids"] = np.asarray(system.kf_scan_ids, np.int64)
     meta["scan_idx"] = system._scan_idx
-    meta["scan_time"] = float(system._scan_time)
-    if system._last_refined is not None:
-        arrs["last_refined"] = np.asarray(system._last_refined)
-        arrs["last_frontend"] = np.asarray(system._last_frontend)
+    meta["n_loop_factors"] = system._n_loop_factors
+    meta["merge_classes"] = bool(system.collector.merge_classes)
+    arrs["last_refined"] = np.asarray(system.fstate.last_refined)
+    arrs["last_frontend"] = np.asarray(system.fstate.last_frontend)
+
+    # buffered GPS fixes not yet drained into a submap
+    meta["n_gps"] = len(system._gps_queue)
+    for k, (t, pos, cov) in enumerate(system._gps_queue):
+        arrs[f"gps{k}"] = np.concatenate([[t], pos, cov])
 
     # keyframes
     meta["n_kf"] = len(system.keyframes)
@@ -77,6 +84,8 @@ def save_slam(path: str, system) -> None:
         arrs[f"kf{k}_corner_m"] = np.asarray(kf.corner_mask)
         arrs[f"kf{k}_surf"] = np.asarray(kf.surf_xyz)
         arrs[f"kf{k}_surf_m"] = np.asarray(kf.surf_mask)
+        arrs[f"kf{k}_cls"] = np.asarray(kf.clouds.xyz)
+        arrs[f"kf{k}_cls_m"] = np.asarray(kf.clouds.mask)
         arrs[f"kf{k}_t"] = np.float64(kf.timestamp)
         arrs[f"kf{k}_sid"] = np.int64(kf.submap_id)
 
@@ -89,6 +98,9 @@ def save_slam(path: str, system) -> None:
         arrs[f"sm{k}_corner_m"] = np.asarray(sm_.corner_mask)
         arrs[f"sm{k}_surf"] = np.asarray(sm_.surf_xyz)
         arrs[f"sm{k}_surf_m"] = np.asarray(sm_.surf_mask)
+        if sm_.class_xyz is not None:
+            arrs[f"sm{k}_cls"] = np.asarray(sm_.class_xyz)
+            arrs[f"sm{k}_cls_m"] = np.asarray(sm_.class_mask)
         arrs[f"sm{k}_kf_idx"] = np.asarray(sm_.kf_indices, np.int64)
         arrs[f"sm{k}_kf_rel"] = np.asarray(sm_.kf_rel_poses).reshape(-1, 4, 4)
     # collector accumulators + open keyframe indices
@@ -115,16 +127,14 @@ def save_slam(path: str, system) -> None:
         arrs[f"gp{k}_w"] = w
         arrs[f"gp{k}_i"] = np.int64(i)
 
-    # loop detector database
+    # loop detector database (selected descriptor + signature per keyframe)
     ld = system.loop_detector
     meta["n_ld"] = len(ld.poses)
     if ld.poses:
         arrs["ld_poses"] = np.asarray(ld.poses)
         arrs["ld_travel"] = np.asarray(ld.travel)
-        arrs["ld_sigs"] = np.asarray(ld._sig_db)
-        for k, d in enumerate(ld.descs):
-            for f in d._fields:
-                arrs[f"ld{k}_{f}"] = np.asarray(getattr(d, f))
+        arrs["ld_sigs"] = np.stack([np.asarray(s) for s in ld.sigs])
+        arrs["ld_descs"] = np.stack([np.asarray(d) for d in ld.descs])
     # pending verified loops
     meta["n_loops"] = len(system.loops)
     for k, (i, j, T, fit) in enumerate(system.loops):
@@ -136,7 +146,6 @@ def save_slam(path: str, system) -> None:
 
 def load_slam(path: str, system) -> None:
     """Restore into a freshly constructed SemanticSlam (same config)."""
-    from ..loop import epsc as _epsc
     from ..mapping import submap as _sm
 
     data = np.load(path, allow_pickle=False)
@@ -154,10 +163,17 @@ def load_slam(path: str, system) -> None:
     system.scan_poses = [p for p in data["scan_poses"]]
     system.kf_scan_ids = list(data["kf_scan_ids"])
     system._scan_idx = int(meta["scan_idx"])
-    system._scan_time = float(meta["scan_time"])
-    if "last_refined" in data:
-        system._last_refined = data["last_refined"]
-        system._last_frontend = data["last_frontend"]
+    system._n_loop_factors = int(meta.get("n_loop_factors", 0))
+    system.collector.merge_classes = bool(meta.get("merge_classes", False))
+    system.fstate = system.fstate._replace(
+        last_refined=jnp.asarray(data["last_refined"]),
+        last_frontend=jnp.asarray(data["last_frontend"]),
+    )
+    system._gps_queue = []
+    for k in range(meta.get("n_gps", 0)):
+        row = data[f"gps{k}"]
+        system._gps_queue.append(
+            (float(row[0]), row[1:4].copy(), row[4:7].copy()))
 
     system.keyframes = []
     for k in range(meta["n_kf"]):
@@ -166,7 +182,8 @@ def load_slam(path: str, system) -> None:
             pose_init=data[f"kf{k}_pose_init"],
             pose_opt=data[f"kf{k}_pose_opt"],
             clouds=_sm.ClassClouds(
-                xyz=jnp.zeros((5, 8, 3)), mask=jnp.zeros((5, 8), bool)),
+                xyz=jnp.asarray(data[f"kf{k}_cls"]),
+                mask=jnp.asarray(data[f"kf{k}_cls_m"])),
             corner_xyz=jnp.asarray(data[f"kf{k}_corner"]),
             corner_mask=jnp.asarray(data[f"kf{k}_corner_m"]),
             surf_xyz=jnp.asarray(data[f"kf{k}_surf"]),
@@ -188,6 +205,10 @@ def load_slam(path: str, system) -> None:
             surf_mask=jnp.asarray(data[f"sm{k}_surf_m"]),
             kf_indices=list(data[f"sm{k}_kf_idx"]),
             kf_rel_poses=[T for T in data[f"sm{k}_kf_rel"]],
+            class_xyz=(jnp.asarray(data[f"sm{k}_cls"])
+                       if f"sm{k}_cls" in data else None),
+            class_mask=(jnp.asarray(data[f"sm{k}_cls_m"])
+                        if f"sm{k}_cls_m" in data else None),
         )
         sm_.recompute_bbox()
         system.collector.submaps.append(sm_)
@@ -215,15 +236,12 @@ def load_slam(path: str, system) -> None:
                           data[f"gp{k}_z"], data[f"gp{k}_w"]))
 
     ld = system.loop_detector
-    ld.descs, ld.poses, ld.travel, ld._sig_db = [], [], [], None
+    ld.descs, ld.sigs, ld.poses, ld.travel = [], [], [], []
     if meta["n_ld"]:
         ld.poses = [p for p in data["ld_poses"]]
         ld.travel = list(data["ld_travel"])
-        ld._sig_db = data["ld_sigs"]
-        for k in range(meta["n_ld"]):
-            ld.descs.append(_epsc.Descriptors(
-                **{f: jnp.asarray(data[f"ld{k}_{f}"])
-                   for f in _epsc.Descriptors._fields}))
+        ld.sigs = [jnp.asarray(s) for s in data["ld_sigs"]]
+        ld.descs = [jnp.asarray(d) for d in data["ld_descs"]]
     system.loops = []
     for k in range(meta["n_loops"]):
         ijf = data[f"lp{k}_ijf"]

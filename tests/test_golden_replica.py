@@ -148,3 +148,121 @@ def test_pipeline_within_1pct_ate_of_replica(hdl64_cfg, world):
     )
     # and the pipeline must be at least as accurate as the replica (+20%)
     assert ate_tpu < 1.2 * ate_rep + 0.02
+
+
+# ---------------------------------------------------------------------------
+# back-end golden pins (VERDICT round-2 missing #3): the semantic-weighted
+# stage-1 refinement and the submap-to-submap registration solved by the TPU
+# path must agree with the reference-math numpy replica on identical inputs.
+# ---------------------------------------------------------------------------
+
+
+def _structured_scene(rng, n_line_pts=600, n_plane_pts=4000):
+    """World-frame map with line structure (poles) for the corner solver and
+    plane structure (ground + walls) for the surf solver."""
+    poles = []
+    for _ in range(40):
+        x, y = rng.uniform(-25, 25, 2)
+        z = rng.uniform(0, 5, n_line_pts // 40)
+        poles.append(np.stack([np.full_like(z, x) + rng.normal(0, 0.01, z.shape),
+                               np.full_like(z, y) + rng.normal(0, 0.01, z.shape),
+                               z], 1))
+    corners = np.concatenate(poles).astype(np.float64)
+    n3 = n_plane_pts // 3
+    # density matters: the solver gates on the 5th-NN sq-dist < 1.0, so the
+    # ground patch must keep 5-NN spacing well under 1 m
+    ground = np.stack([rng.uniform(-14, 14, n3), rng.uniform(-14, 14, n3),
+                       rng.normal(0, 0.01, n3)], 1)
+    wall1 = np.stack([rng.uniform(-30, 30, n3),
+                      np.full(n3, 12.0) + rng.normal(0, 0.01, n3),
+                      rng.uniform(0, 6, n3)], 1)
+    wall2 = np.stack([np.full(n3, -14.0) + rng.normal(0, 0.01, n3),
+                      rng.uniform(-30, 30, n3), rng.uniform(0, 6, n3)], 1)
+    surfs = np.concatenate([ground, wall1, wall2]).astype(np.float64)
+    return corners, surfs
+
+
+def _pad(arr, cap):
+    import jax.numpy as jnp
+
+    out = np.zeros((cap, arr.shape[1]), np.float32)
+    out[: len(arr)] = arr
+    return jnp.asarray(out), jnp.asarray(np.arange(cap) < len(arr))
+
+
+@pytest.mark.slow
+def test_backend_semantic_refine_matches_replica(hdl64_cfg):
+    """Semantic-weighted scan-to-submap solve (scan2SubMapOptimization,
+    subMapOptmizationNode.cpp:1509-1967): jitted solver vs numpy replica on
+    identical weighted inputs — both must recover the true pose and agree."""
+    import jax.numpy as jnp
+
+    from lis_slam_tpu.ops import scan_match
+
+    rng = np.random.default_rng(11)
+    map_c, map_s = _structured_scene(rng)
+    true_pose = np.array([0.004, -0.006, 0.02, 0.3, -0.2, 0.05])
+    T = replica.pose_to_matrix(true_pose)
+    Ti = np.linalg.inv(T)
+    # current scan = subsample of the map pulled back into the sensor frame
+    c_idx = rng.choice(len(map_c), 250, replace=False)
+    s_idx = rng.choice(len(map_s), 1200, replace=False)
+    cur_c = replica.transform_points(Ti, map_c[c_idx])
+    cur_s = replica.transform_points(Ti, map_s[s_idx])
+    w_c = rng.uniform(0.5, 1.5, len(cur_c))
+    w_s = rng.uniform(0.5, 1.5, len(cur_s))
+
+    cfg = hdl64_cfg
+    pose0 = np.zeros(6)
+    rep_pose = replica.scan_to_submap_semantic(
+        pose0, cur_c, w_c, cur_s, w_s, map_c, map_s, cfg, max_iter=20)
+
+    cj, cm = _pad(cur_c, 512)
+    sj, sm = _pad(cur_s, 2048)
+    mcj, mcm = _pad(map_c, 1024)
+    msj, msm = _pad(map_s, 8192)
+    wcj = jnp.zeros(512).at[: len(w_c)].set(jnp.asarray(w_c, jnp.float32))
+    wsj = jnp.zeros(2048).at[: len(w_s)].set(jnp.asarray(w_s, jnp.float32))
+    gn = scan_match.scan_to_map(
+        jnp.zeros(6, jnp.float32), cj, cm, sj, sm, mcj, mcm, msj, msm,
+        cfg.matching, 20, corner_sem_weight=wcj, surf_sem_weight=wsj)
+    tpu_pose = np.asarray(gn.pose, np.float64)
+
+    np.testing.assert_allclose(rep_pose, true_pose, atol=8e-3)
+    np.testing.assert_allclose(tpu_pose, true_pose, atol=8e-3)
+    np.testing.assert_allclose(tpu_pose, rep_pose, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_submap_registration_matches_replica(hdl64_cfg):
+    """Submap-to-submap registration (subMap2SubMapOptimization,
+    :4485-4540): jitted solver vs the 30-iteration replica."""
+    import jax.numpy as jnp
+
+    from lis_slam_tpu.ops import scan_match
+
+    rng = np.random.default_rng(13)
+    map_c, map_s = _structured_scene(rng)
+    true_pose = np.array([0.002, 0.003, -0.015, -0.25, 0.15, 0.02])
+    Ti = np.linalg.inv(replica.pose_to_matrix(true_pose))
+    c_idx = rng.choice(len(map_c), 300, replace=False)
+    s_idx = rng.choice(len(map_s), 1500, replace=False)
+    cur_c = replica.transform_points(Ti, map_c[c_idx])
+    cur_s = replica.transform_points(Ti, map_s[s_idx])
+
+    cfg = hdl64_cfg
+    rep_pose = replica.submap_to_submap(
+        np.zeros(6), cur_c, cur_s, map_c, map_s, cfg, max_iter=30)
+
+    cj, cm = _pad(cur_c, 512)
+    sj, sm = _pad(cur_s, 2048)
+    mcj, mcm = _pad(map_c, 1024)
+    msj, msm = _pad(map_s, 8192)
+    gn = scan_match.scan_to_map(
+        jnp.zeros(6, jnp.float32), cj, cm, sj, sm, mcj, mcm, msj, msm,
+        cfg.matching, cfg.matching.max_iterations_submap2submap)
+    tpu_pose = np.asarray(gn.pose, np.float64)
+
+    np.testing.assert_allclose(rep_pose, true_pose, atol=8e-3)
+    np.testing.assert_allclose(tpu_pose, true_pose, atol=8e-3)
+    np.testing.assert_allclose(tpu_pose, rep_pose, atol=1e-2)

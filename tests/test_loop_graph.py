@@ -113,21 +113,27 @@ def test_loop_detector_end_to_end(cfg):
     pts, lab = make_scene(rng, n=6000)
 
     det = epsc.LoopDetector(cfg)
-    inten = np.full(len(pts), 0.5, np.float32)
 
-    def desc_at(yaw, shift):
+    def sensor_cloud(yaw, shift):
         c, s = np.cos(-yaw), np.sin(-yaw)
         p = pts.copy()
         p[:, 0] -= shift[0]
         p[:, 1] -= shift[1]
-        p = np.stack([c * p[:, 0] - s * p[:, 1],
-                      s * p[:, 0] + c * p[:, 1], p[:, 2]], 1).astype(np.float32)
-        return compute_desc(p, lab, cfg)
+        return np.stack([c * p[:, 0] - s * p[:, 1],
+                         s * p[:, 0] + c * p[:, 1], p[:, 2]],
+                        1).astype(np.float32)
 
-    def recompute_factory(yaw, shift):
-        def recompute(R2, t2):
-            return desc_at(yaw, shift)  # approximation for the test
-        return recompute
+    def cloud_refs(p):
+        n = len(p)
+        return epsc.CloudRefs(
+            sem_xyz=jnp.asarray(p),
+            sem_intensity=jnp.full(n, 0.5, jnp.float32),
+            sem_label=jnp.asarray(lab), sem_valid=jnp.ones(n, bool),
+            corner_xyz=jnp.asarray(p[:500]),
+            corner_valid=jnp.ones(500, bool),
+            surf_xyz=jnp.asarray(p[500:2500]),
+            surf_valid=jnp.ones(2000, bool),
+        )
 
     # drive far away (straight line), then come back to the start
     n_away = 14
@@ -137,9 +143,10 @@ def test_loop_detector_end_to_end(cfg):
     path.append((0.05, (0.5, 0.3)))  # revisit near the origin
     results = []
     for yaw, shift in path:
-        d = desc_at(yaw, shift)
+        p = sensor_cloud(yaw, shift)
+        d = compute_desc(p, lab, cfg)
         out = det.add_and_detect(
-            d, np.array([shift[0], shift[1], yaw]), recompute_factory(yaw, shift)
+            d, np.array([shift[0], shift[1], yaw]), cloud_refs(p)
         )
         results.append(out)
     final = results[-1]
