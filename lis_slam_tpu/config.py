@@ -251,7 +251,7 @@ class GraphConfig:
     """Global pose-graph solver (replaces GTSAM iSAM2,
     subMapOptmizationNode.cpp:4084-4385)."""
 
-    max_iterations: int = 20
+    max_iterations: int = 60  # LM sweeps; graph is tiny, sweeps are cheap
     odom_rot_sigma: float = 1e-3
     odom_trans_sigma: float = 1e-2
     loop_rot_sigma: float = 1e-2

@@ -94,48 +94,77 @@ def _prior_residuals(graph: PoseGraph):
     return r * w, J * w[:, :, None]
 
 
+def _masked_residuals(graph: PoseGraph, nodes):
+    g = graph._replace(nodes=nodes)
+    r_e, Ji, Jj = _residuals_and_blocks(g)
+    r_p, Jp = _prior_residuals(g)
+    em = g.edge_mask.astype(nodes.dtype)
+    pm = g.prior_mask.astype(nodes.dtype)
+    r_e = r_e * em[:, None]
+    Ji = Ji * em[:, None, None]
+    Jj = Jj * em[:, None, None]
+    r_p = r_p * pm[:, None]
+    Jp = Jp * pm[:, None, None]
+    return r_e, Ji, Jj, r_p, Jp
+
+
+def _cost(graph: PoseGraph, nodes):
+    r_e, _Ji, _Jj, r_p, _Jp = _masked_residuals(graph, nodes)
+    return jnp.sum(r_e * r_e) + jnp.sum(r_p * r_p)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize(graph: PoseGraph, damping: float = 1e-6,
              iterations: int = 20) -> PoseGraph:
-    """Damped GN over the whole graph; returns graph with updated nodes."""
+    """Levenberg-Marquardt over the whole graph; returns graph with updated
+    nodes. Adaptive damping with step acceptance: pure Gauss-Newton with a
+    fixed tiny damping OSCILLATES when strong unary priors (GPS) conflict
+    with the odometry chain (the round-3 GPS-drift regression: node
+    estimates diverged after ~5 sweeps); LM's reject-and-raise-lambda makes
+    every sweep monotone in cost. GTSAM's iSAM2 wraps the same factors in a
+    trust-region (Dogleg) solver for the same reason."""
     n = graph.nodes.shape[0]
 
-    def body(_, nodes):
-        g = graph._replace(nodes=nodes)
-        r_e, Ji, Jj = _residuals_and_blocks(g)
-        r_p, Jp = _prior_residuals(g)
-        em = g.edge_mask.astype(nodes.dtype)
-        pm = g.prior_mask.astype(nodes.dtype)
-        r_e = r_e * em[:, None]
-        Ji = Ji * em[:, None, None]
-        Jj = Jj * em[:, None, None]
-        r_p = r_p * pm[:, None]
-        Jp = Jp * pm[:, None, None]
+    def body(_, carry):
+        nodes, lam, cost = carry
+        r_e, Ji, Jj, r_p, Jp = _masked_residuals(graph, nodes)
 
         # assemble H (6N, 6N) and b (6N,) by block scatter-add
         H = jnp.zeros((n, n, 6, 6))
         b = jnp.zeros((n, 6))
-        ii, jj = g.edge_i, g.edge_j
+        ii, jj = graph.edge_i, graph.edge_j
         H = H.at[ii, ii].add(jnp.einsum("eki,ekj->eij", Ji, Ji))
         H = H.at[jj, jj].add(jnp.einsum("eki,ekj->eij", Jj, Jj))
         H = H.at[ii, jj].add(jnp.einsum("eki,ekj->eij", Ji, Jj))
         H = H.at[jj, ii].add(jnp.einsum("eki,ekj->eij", Jj, Ji))
         b = b.at[ii].add(jnp.einsum("eki,ek->ei", Ji, r_e))
         b = b.at[jj].add(jnp.einsum("eki,ek->ei", Jj, r_e))
-        pi = g.prior_idx
+        pi = graph.prior_idx
         H = H.at[pi, pi].add(jnp.einsum("eki,ekj->eij", Jp, Jp))
         b = b.at[pi].add(jnp.einsum("eki,ek->ei", Jp, r_p))
 
         Hd = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
         bd = b.reshape(6 * n)
-        # gauge fixing for inactive nodes + damping
-        active = jnp.repeat(g.node_mask, 6).astype(nodes.dtype)
-        Hd = Hd + jnp.diag(damping + (1.0 - active) * 1e6 + 1e-8)
+        # gauge fixing for inactive nodes + LM damping (scaled by the
+        # diagonal so lambda is unit-free)
+        diag = jnp.diagonal(Hd)
+        active = jnp.repeat(graph.node_mask, 6).astype(nodes.dtype)
+        Hd = Hd + jnp.diag(
+            damping + lam * (diag + 1.0) + (1.0 - active) * 1e6 + 1e-8)
         delta = -jnp.linalg.solve(Hd, bd).reshape(n, 6)
-        delta = delta * g.node_mask[:, None]
-        return nodes @ se3.se3_exp(delta)
+        delta = delta * graph.node_mask[:, None]
+        cand = nodes @ se3.se3_exp(delta)
+        new_cost = _cost(graph, cand)
+        accept = new_cost < cost
+        nodes = jnp.where(accept, cand, nodes)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return nodes, lam, cost
 
-    nodes = jax.lax.fori_loop(0, iterations, body, graph.nodes)
+    nodes, _lam, _cost_f = jax.lax.fori_loop(
+        0, iterations, body,
+        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype),
+         _cost(graph, graph.nodes)))
     return graph._replace(nodes=nodes)
 
 

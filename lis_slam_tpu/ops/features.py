@@ -44,6 +44,11 @@ class FeatureClouds(NamedTuple):
     sharp_surf_mask: jnp.ndarray
     corner_intensity: jnp.ndarray  # (Ck,)
     surf_intensity: jnp.ndarray  # (Sk,)
+    # RAW-point index (-1 padded / unknown) of each surf feature, threaded
+    # from ExtractedCloud.src: any per-raw-point payload (e.g. semantic
+    # labels) gathers onto the surf features for free, replacing the
+    # round-2 per-keyframe hash-build + kNN label lookup (~56 ms/kf).
+    surf_src: jnp.ndarray  # (Sk,) int32
 
 
 def curvature_and_occlusion(ext: ExtractedCloud, cfg: FeatureConfig):
@@ -304,8 +309,10 @@ def _gather_indexed(xyz, inten, idx, ok, capacity):
     return buf, ibuf, jnp.arange(capacity) < cnt
 
 
-def _gather_flagged(xyz, inten, flag, capacity):
-    """Compact flagged points (N,H,...) into a fixed-capacity buffer."""
+def _gather_flagged(xyz, inten, flag, capacity, src=None):
+    """Compact flagged points (N,H,...) into a fixed-capacity buffer.
+    With `src` (N,H) int32, also compacts the per-slot source index
+    (-1 in padding slots)."""
     n, h = flag.shape
     flat_flag = flag.reshape(-1)
     flat_xyz = xyz.reshape(-1, 3)
@@ -316,7 +323,11 @@ def _gather_flagged(xyz, inten, flag, capacity):
     ibuf = jnp.zeros((capacity + 1,), dtype=inten.dtype).at[dest].set(flat_int)[:capacity]
     cnt = jnp.minimum(jnp.sum(flat_flag.astype(jnp.int32)), capacity)
     mask = jnp.arange(capacity) < cnt
-    return buf, ibuf, mask
+    if src is None:
+        return buf, ibuf, mask
+    sbuf = jnp.full((capacity + 1,), -1, jnp.int32).at[dest].set(
+        src.reshape(-1))[:capacity]
+    return buf, ibuf, mask, jnp.where(mask, sbuf, -1)
 
 
 def extract_features(ext: ExtractedCloud, cfg: FeatureConfig,
@@ -329,6 +340,8 @@ def extract_features(ext: ExtractedCloud, cfg: FeatureConfig,
     selection.
     """
     curv, picked, _valid = curvature_and_occlusion(ext, cfg)
+    src = (ext.src if ext.src is not None
+           else jnp.full(ext.rng.shape, -1, jnp.int32))
 
     if greedy:
         row_fn = jax.vmap(lambda c, p, co, ct: _extract_row(c, p, co, cfg, ct))
@@ -341,8 +354,8 @@ def extract_features(ext: ExtractedCloud, cfg: FeatureConfig,
         sharp_xyz, _si, sharp_mask = _gather_flagged(
             ext.xyz, ext.intensity, sharp_corner_f, cfg.max_sharp_corner_points
         )
-        surf_xyz, surf_int, surf_mask = _gather_flagged(
-            ext.xyz, ext.intensity, surf_f, cfg.max_surf_points
+        surf_xyz, surf_int, surf_mask, surf_src = _gather_flagged(
+            ext.xyz, ext.intensity, surf_f, cfg.max_surf_points, src=src
         )
         ssurf_xyz, _ssi, ssurf_mask = _gather_flagged(
             ext.xyz, ext.intensity, sharp_surf_f, cfg.max_sharp_surf_points
@@ -360,8 +373,8 @@ def extract_features(ext: ExtractedCloud, cfg: FeatureConfig,
         ssurf_xyz, _ssi, ssurf_mask = _gather_indexed(
             ext.xyz, ext.intensity, *ssurf_sel, cfg.max_sharp_surf_points
         )
-        surf_xyz, surf_int, surf_mask = _gather_flagged(
-            ext.xyz, ext.intensity, surf_f, cfg.max_surf_points
+        surf_xyz, surf_int, surf_mask, surf_src = _gather_flagged(
+            ext.xyz, ext.intensity, surf_f, cfg.max_surf_points, src=src
         )
     return FeatureClouds(
         corner_xyz=corner_xyz,
@@ -374,4 +387,5 @@ def extract_features(ext: ExtractedCloud, cfg: FeatureConfig,
         sharp_surf_mask=ssurf_mask,
         corner_intensity=corner_int,
         surf_intensity=surf_int,
+        surf_src=surf_src,
     )

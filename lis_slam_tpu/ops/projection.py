@@ -46,6 +46,11 @@ class ExtractedCloud(NamedTuple):
     col: jnp.ndarray  # (N, H) original column index (pointColInd)
     count: jnp.ndarray  # (N,) valid count per row
     mask: jnp.ndarray  # (N, H) bool, True for compacted slots < count
+    # raw-point index of each compacted slot (-1 padded): lets any
+    # per-raw-point payload (e.g. semantic labels) be gathered onto the
+    # grid without a second projection pass. Populated by the fused
+    # project_and_extract path; -1 everywhere from extract().
+    src: jnp.ndarray | None = None  # (N, H) int32
 
 
 def project(
@@ -134,16 +139,21 @@ def project_and_extract(
     key = jnp.where(ok, pix * 16384 + rq, jnp.int32(2**31 - 1))
 
     # payload rides INSIDE the sorting network (multi-operand lax.sort) —
-    # a separate argsort+gather costs an extra ~3 ms of random access
+    # a separate argsort+gather costs an extra ~3 ms of random access.
+    # src (the raw-point index, exact in f32 for P < 2^24) rides along so
+    # per-raw-point payloads (semantic labels) can be gathered onto the
+    # compacted grid later without re-projecting.
+    src_f = jnp.arange(p_cap, dtype=jnp.float32)
     cols_payload = (
         rng, points[:, 0], points[:, 1], points[:, 2], intensity, rel_time,
+        src_f,
     )
     sorted1 = jax.lax.sort((key,) + cols_payload, num_keys=1)
     ks = sorted1[0]
     kpix = ks // 16384
     first = jnp.concatenate([jnp.ones(1, bool), kpix[1:] != kpix[:-1]])
     first = first & (ks != 2**31 - 1)
-    wp = jnp.stack(sorted1[1:], axis=1)  # (P, 6) rng,x,y,z,int,time
+    wp = jnp.stack(sorted1[1:], axis=1)  # (P, 7) rng,x,y,z,int,time,src
 
     # winners are already in row-major pixel order within sorted1; their
     # per-row compaction slot is their global winner rank minus the row's
@@ -159,9 +169,9 @@ def project_and_extract(
     slot = wrank - row_start[jnp.clip(win_row, 0, n - 1)]
     cdest = jnp.where(first & (slot < h), win_row * h + slot, n * h)
     col_f = (kpix % h).astype(jnp.float32)
-    payload = jnp.concatenate([wp, col_f[:, None]], axis=1)  # (P, 7)
-    comp = jnp.zeros((n * h + 1, 7), jnp.float32).at[cdest].set(
-        payload, unique_indices=True)[: n * h].reshape(n, h, 7)
+    payload = jnp.concatenate([wp, col_f[:, None]], axis=1)  # (P, 8)
+    comp = jnp.zeros((n * h + 1, 8), jnp.float32).at[cdest].set(
+        payload, unique_indices=True)[: n * h].reshape(n, h, 8)
     count = counts
     mask = jnp.arange(h)[None, :] < count[:, None]
 
@@ -170,7 +180,7 @@ def project_and_extract(
     img = None
     if want_image:
         gdest = jnp.where(first, kpix, n * h)
-        grid = jnp.zeros((n * h + 1, 7), jnp.float32).at[gdest].set(
+        grid = jnp.zeros((n * h + 1, 8), jnp.float32).at[gdest].set(
             payload, unique_indices=True)[: n * h]
         rng_img = jnp.where(grid[:, 0] > 0, grid[:, 0], _INVALID_RANGE)
         img = RangeImage(
@@ -184,9 +194,10 @@ def project_and_extract(
         rng=jnp.where(mask, comp[..., 0], _INVALID_RANGE),
         xyz=comp[..., 1:4],
         intensity=comp[..., 4],
-        col=jnp.where(mask, comp[..., 6].astype(jnp.int32), -1),
+        col=jnp.where(mask, comp[..., 7].astype(jnp.int32), -1),
         count=count,
         mask=mask,
+        src=jnp.where(mask, comp[..., 6].astype(jnp.int32), -1),
     )
     return img, ext
 
@@ -226,4 +237,5 @@ def extract(img: RangeImage) -> ExtractedCloud:
         col=col_c,
         count=count,
         mask=mask,
+        src=jnp.full((n, h), -1, jnp.int32),  # raw indices unknown here
     )

@@ -127,11 +127,13 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
             guess = se3.matrix_to_pose(T_inc @ se3.pose_to_matrix(_lr))
             guess = jnp.where(sem.kf_count == 0, out.pose, guess)
             new_sem, refined, _gn = semo.refine_step(sem, sscan, guess, cfg)
-            h = knn.build_hash(scan.points[:, :3], scan.valid, cell_size=1.0,
-                               table_size=1 << 15)
-            _, idx = knn.knn_hash(fc.surf_xyz, h, k=1)
-            lab_surf = lab[jnp.clip(idx[:, 0], 0, lab.shape[0] - 1)].astype(
-                jnp.int32)
+            # surf features carry their raw-point index (FeatureClouds.
+            # surf_src), so the per-feature label is a direct gather —
+            # replaces the round-2 hash-build + kNN lookup (~56 ms/kf)
+            lab_surf = jnp.where(
+                fc.surf_src >= 0,
+                lab[jnp.clip(fc.surf_src, 0, lab.shape[0] - 1)], 0,
+            ).astype(jnp.int32)
             class_xyz, class_mask = sscan.class_xyz, sscan.class_mask
         else:
             new_sem, refined = sem, out.pose
@@ -622,24 +624,28 @@ class SemanticSlam:
         if not self.collector.submaps:
             return
         tol = 0.2
+        # globally nearest submap-assigned keyframe per fix (the reference
+        # time-matches fixes to keyframes within 0.2 s, :4230-4243)
+        kt, ks, kr = [], [], []
+        for s in self.collector.submaps:
+            for k, rel in zip(s.kf_indices, s.kf_rel_poses):
+                kt.append(self.keyframes[k].timestamp)
+                ks.append(s)
+                kr.append(rel)
+        kt_np = np.asarray(kt)
         remaining = []
+        # fixes newer than the last CLOSED submap's coverage stay queued:
+        # their keyframe exists but its submap hasn't been cut yet
+        closed_until = kt_np.max() if len(kt_np) else -np.inf
         for (t, pos, cov) in self._gps_queue:
-            matched = None
-            for s in self.collector.submaps:
-                ts = [self.keyframes[k].timestamp for k in s.kf_indices]
-                if ts and min(ts) - tol <= t <= max(ts) + tol:
-                    j = int(np.argmin(np.abs(np.asarray(ts) - t)))
-                    matched = (s, s.kf_rel_poses[j])
-                    break
-            if matched is None:
-                last_kf_t = (self.keyframes[-1].timestamp
-                             if self.keyframes else -np.inf)
-                if t > last_kf_t:
-                    remaining.append((t, pos, cov))  # future submap
+            j = int(np.argmin(np.abs(kt_np - t)))
+            if abs(kt_np[j] - t) > tol:
+                if t > closed_until:
+                    remaining.append((t, pos, cov))  # open/future submap
                 else:
                     self._gps_dropped += 1
                 continue
-            s, rel = matched
+            s, rel = ks[j], kr[j]
             # implied submap-base position: p_gps - R_submap @ rel_t
             R = s.pose_init[:3, :3]
             T = np.eye(4, dtype=np.float32)

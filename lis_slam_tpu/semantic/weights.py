@@ -103,18 +103,127 @@ def load_checkpoint(path: str | None = None):
     return cfg, variables
 
 
+def expected_layer_sequence(cfg: SemanticConfig):
+    """Graph-topological-order list of (param_path, kind) for the RangeNet
+    architecture `cfg`, where kind is 'conv' (HWIO kernel, no bias),
+    'deconv' (ConvTranspose), 'bn' (scale/bias/mean/var), or 'convb' (the
+    class head, with bias). This IS the layer-order contract an ONNX
+    initializer stream must be zipped against (the released darknet53.onnx
+    serializes conv + BN initializers in the same topological order,
+    netTensorRT.cpp:491-676 consumes them likewise)."""
+    seq = []
+    enc = "Darknet53Encoder_0"
+
+    def cbl(prefix):
+        seq.append((f"{prefix}/Conv_0", "conv"))
+        seq.append((f"{prefix}/BatchNorm_0", "bn"))
+
+    cbl(f"{enc}/ConvBnLeaky_0")  # stem
+    rb = 0
+    for i, nb in enumerate(cfg.enc_blocks):
+        cbl(f"{enc}/ConvBnLeaky_{i + 1}")  # stride-2 downsample
+        for _ in range(nb):
+            cbl(f"{enc}/ResidualBlock_{rb}/ConvBnLeaky_0")
+            cbl(f"{enc}/ResidualBlock_{rb}/ConvBnLeaky_1")
+            rb += 1
+    # decoder: skips are captured BEFORE each downsample, so their channel
+    # counts are [stem=32, widths[0..-2]] and are consumed in reverse
+    skip_ch = [32] + list(cfg.enc_widths[:-1])
+    for i, feats in enumerate(cfg.dec_widths):
+        up = f"UpBlock_{i}"
+        seq.append((f"{up}/ConvTranspose_0", "deconv"))
+        seq.append((f"{up}/BatchNorm_0", "bn"))
+        cbl(f"{up}/ConvBnLeaky_0")
+        if skip_ch[len(skip_ch) - 1 - i] != feats:
+            seq.append((f"{up}/Conv_0", "conv"))  # 1x1 skip projection
+    seq.append(("Conv_0", "convb"))  # class head (bias, float32)
+    return seq
+
+
+def map_ordered_weights(entries, cfg: SemanticConfig):
+    """Map an ordered ONNX-style weight stream onto the Flax variables tree.
+
+    `entries`: list of dicts in graph order, each one of
+      {'kind': 'conv',   'w': (O, I, kH, kW)}
+      {'kind': 'deconv', 'w': (I, O, kH, kW)}          (ONNX ConvTranspose)
+      {'kind': 'convb',  'w': (O, I, kH, kW), 'b': (O,)}
+      {'kind': 'bn',     'scale': g, 'bias': b, 'mean': m, 'var': v}
+    Returns flax `variables` = {'params': ..., 'batch_stats': ...}.
+
+    This is the environment-independent half of the ONNX importer: the
+    layer-order mapping + layout conversion (OIHW -> HWIO, ONNX deconv
+    IOHW -> flax HWIO), unit-tested against a synthetic stream generated
+    from the model's own init (tests/test_semantic_infer.py). `load_onnx`
+    merely extracts this stream from a .onnx file."""
+    seq = expected_layer_sequence(cfg)
+    if len(entries) != len(seq):
+        raise ValueError(
+            f"weight stream has {len(entries)} layer groups, architecture "
+            f"expects {len(seq)} — architecture/config mismatch")
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf, value):
+        node = tree
+        for p in path.split("/"):
+            node = node.setdefault(p, {})
+        node[leaf] = np.asarray(value)
+
+    for (path, kind), e in zip(seq, entries):
+        if e["kind"] != kind:
+            raise ValueError(f"at {path}: expected {kind}, got {e['kind']}")
+        if kind in ("conv", "convb"):
+            w = np.transpose(np.asarray(e["w"]), (2, 3, 1, 0))  # OIHW->HWIO
+            put(params, path, "kernel", w)
+            if kind == "convb":
+                put(params, path, "bias", np.asarray(e["b"]))
+        elif kind == "deconv":
+            # ONNX ConvTranspose stores (I, O, kH, kW); flax wants
+            # (kH, kW, I, O)
+            w = np.transpose(np.asarray(e["w"]), (2, 3, 0, 1))
+            put(params, path, "kernel", w)
+        else:  # bn
+            put(params, path, "scale", np.asarray(e["scale"]))
+            put(params, path, "bias", np.asarray(e["bias"]))
+            put(stats, path, "mean", np.asarray(e["mean"]))
+            put(stats, path, "var", np.asarray(e["var"]))
+    return {"params": params, "batch_stats": stats}
+
+
 def load_onnx(path: str, cfg: SemanticConfig):
-    """Importer seam for the released RangeNet++ ONNX weights
-    (reference downloads darknet53.onnx; netTensorRT.cpp:491-676 builds the
-    engine from it). Maps ONNX initializer tensors onto the Flax parameter
-    tree by layer order. Requires the `onnx` package, which is not available
-    in this environment — the function exists so the import path is ready
-    when weights + onnx are."""
+    """Importer for the released RangeNet++ ONNX weights (the reference
+    downloads darknet53.onnx; netTensorRT.cpp:491-676 builds a TensorRT
+    engine from it). Extracts the conv/BN initializer stream in graph order
+    and maps it via `map_ordered_weights` (which carries all the logic and
+    is unit-tested offline). Requires the `onnx` package — unavailable in
+    this environment (zero egress), so only this thin extraction shim stays
+    gated."""
     try:
-        import onnx  # noqa: F401
+        import onnx
     except ImportError as e:
         raise NotImplementedError(
             "onnx is not installed in this environment; use the synthetic "
             "checkpoint (semantic/weights.py:DEFAULT_CHECKPOINT) instead"
         ) from e
-    raise NotImplementedError("ONNX import mapping pending released weights")
+    model = onnx.load(path)
+    init = {t.name: onnx.numpy_helper.to_array(t)
+            for t in model.graph.initializer}
+    entries = []
+    nodes = list(model.graph.node)
+    for i, node in enumerate(nodes):
+        if node.op_type == "Conv":
+            w = init[node.input[1]]
+            if len(node.input) > 2:  # biased conv = the class head
+                entries.append({"kind": "convb", "w": w,
+                                "b": init[node.input[2]]})
+            else:
+                entries.append({"kind": "conv", "w": w})
+        elif node.op_type == "ConvTranspose":
+            entries.append({"kind": "deconv", "w": init[node.input[1]]})
+        elif node.op_type == "BatchNormalization":
+            entries.append({
+                "kind": "bn",
+                "scale": init[node.input[1]], "bias": init[node.input[2]],
+                "mean": init[node.input[3]], "var": init[node.input[4]],
+            })
+    return map_ordered_weights(entries, cfg)
