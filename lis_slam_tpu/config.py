@@ -208,6 +208,25 @@ class SubMapConfig:
     # per-submap merged cloud capacities
     corner_capacity: int = 65536
     surf_capacity: int = 131072
+    # sliding semantic LOCAL map capacities (localMap_t window, NOT the
+    # merged submap clouds — round 2 sized the sliding map off the submap
+    # capacities above, which made every keyframe's aged-voxel merge sort
+    # ~160k rows; the window holds the same content as the front-end's
+    # 20-keyframe map, so the front-end capacities are the right scale)
+    local_corner_capacity: int = 16384
+    local_surf_capacity: int = 65536
+    # matched-cloud capacities for the stage-1 semantic refinement: the
+    # reference matches the per-class VOXEL-DOWNSAMPLED keyframe clouds
+    # (keyframeInit's *DS clouds, subMapOptmizationNode.cpp:807-821 ->
+    # currentCloudInit :856-893), not the raw compactions
+    matched_corner_capacity: int = 4096
+    matched_surf_capacity: int = 8192
+    # leaf for the refine's MATCHED surf cloud only (the per-class keyframe
+    # clouds — the map product — keep voxel.submap_surf_leaf). 0.8 m keeps
+    # ~3.3k voxel-uniform surf matches (vs 7.7k at 0.4) at -25% refine time
+    # with no measurable ATE change on the synthetic circuit; 1.2 m starves
+    # the solver into the degenerate-ICP fallback.
+    refine_surf_leaf: float = 0.8
     # per-category clouds: keyframe_t carries 5 semantic class clouds
     # (subMap.h:237-428) and submap_t merges them (:435-664)
     keyframe_class_capacity: int = 8192

@@ -212,30 +212,43 @@ class GraphBuilder:
         ]).astype(np.float32)
         self.priors.append((i, np.asarray(T, np.float32), w))
 
+    @staticmethod
+    def _bucket(n: int, cap: int) -> int:
+        """Smallest power-of-two >= n (min 8), clamped to cap: the dense
+        (6N, 6N) LM solve scales cubically with the node padding, so padding
+        a 5-node graph to max_nodes=256 costs ~300 ms/solve for nothing.
+        Each bucket compiles once."""
+        b = 8
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
     def to_device(self) -> PoseGraph:
-        g = empty_graph(self.max_nodes, self.max_edges, self.max_priors)
         n = len(self.nodes)
         e = len(self.edges)
         p = len(self.priors)
         assert n <= self.max_nodes and e <= self.max_edges and p <= self.max_priors
+        pn = self._bucket(n, self.max_nodes)
+        pe = self._bucket(e, self.max_edges)
+        pp = self._bucket(p, self.max_priors)
         nodes = np.broadcast_to(np.eye(4, dtype=np.float32),
-                                (self.max_nodes, 4, 4)).copy()
+                                (pn, 4, 4)).copy()
         nodes[:n] = np.stack(self.nodes) if n else nodes[:0]
-        node_mask = np.zeros(self.max_nodes, bool)
+        node_mask = np.zeros(pn, bool)
         node_mask[:n] = True
-        ei = np.zeros(self.max_edges, np.int32)
-        ej = np.zeros(self.max_edges, np.int32)
+        ei = np.zeros(pe, np.int32)
+        ej = np.zeros(pe, np.int32)
         ez = np.broadcast_to(np.eye(4, dtype=np.float32),
-                             (self.max_edges, 4, 4)).copy()
-        ew = np.ones((self.max_edges, 6), np.float32)
-        em = np.zeros(self.max_edges, bool)
+                             (pe, 4, 4)).copy()
+        ew = np.ones((pe, 6), np.float32)
+        em = np.zeros(pe, bool)
         for k, (i, j, z, w) in enumerate(self.edges):
             ei[k], ej[k], ez[k], ew[k], em[k] = i, j, z, w, True
-        pidx = np.zeros(self.max_priors, np.int32)
+        pidx = np.zeros(pp, np.int32)
         pz = np.broadcast_to(np.eye(4, dtype=np.float32),
-                             (self.max_priors, 4, 4)).copy()
-        pw = np.ones((self.max_priors, 6), np.float32)
-        pmask = np.zeros(self.max_priors, bool)
+                             (pp, 4, 4)).copy()
+        pw = np.ones((pp, 6), np.float32)
+        pmask = np.zeros(pp, bool)
         for k, (i, z, w) in enumerate(self.priors):
             pidx[k], pz[k], pw[k], pmask[k] = i, z, w, True
         return PoseGraph(
@@ -248,13 +261,28 @@ class GraphBuilder:
         )
 
     def optimize(self, iterations: int | None = None) -> np.ndarray:
-        """Solve and return optimized node poses (n, 4, 4)."""
+        """Solve and return optimized node poses (n, 4, 4) (blocking)."""
+        n, nodes_dev = self.optimize_async(iterations)
+        return self.consume_optimized(n, np.asarray(nodes_dev))
+
+    def optimize_async(self, iterations: int | None = None):
+        """Dispatch the LM solve WITHOUT syncing; returns (n_nodes, device
+        nodes array). Pair with `consume_optimized` after a later batched
+        readback — the SLAM pipeline defers the sync to its next drain so a
+        submap close never blocks the scan loop (the reference's
+        subMapOptmizationThread runs at 1 Hz off the critical path for the
+        same reason, subMapOptmizationNode.cpp:3798-3886)."""
         g = self.to_device()
         out = optimize(g, damping=self.cfg.damping,
                        iterations=iterations or self.cfg.max_iterations)
-        n = len(self.nodes)
-        opt = np.asarray(out.nodes[:n])
-        self.nodes = [opt[i] for i in range(n)]
+        return len(self.nodes), out.nodes
+
+    def consume_optimized(self, n: int, nodes_np: np.ndarray) -> np.ndarray:
+        """Install a fetched optimize_async result as the new estimates for
+        the first `n` nodes (nodes added after the dispatch keep theirs)."""
+        opt = np.asarray(nodes_np[:n])
+        for i in range(n):
+            self.nodes[i] = opt[i]
         return opt
 
 

@@ -70,17 +70,41 @@ class SubMap:
     surf_mask: jnp.ndarray
     kf_indices: list = field(default_factory=list)
     kf_rel_poses: list = field(default_factory=list)  # T_submap^-1 @ T_kf
-    bbox: np.ndarray | None = None  # (2, 3) min/max
+    bbox: np.ndarray | None = None  # (2, 3) min/max (host, materialized)
+    # device-side bbox computed at close time WITHOUT syncing (an
+    # np.asarray on the just-merged cloud blocks the host on the whole
+    # merge chain — measured ~600 ms on the tunneled TPU; the SLAM drain
+    # fetches this in its batched readback instead)
+    bbox_dev: jnp.ndarray | None = None  # (2, 3)
     # merged per-category semantic clouds (submap_t carries 5 class clouds,
     # subMap.h:435-664), world frame; None when semantics are off
     class_xyz: jnp.ndarray | None = None  # (5, C, 3)
     class_mask: jnp.ndarray | None = None  # (5, C)
+
+    def get_bbox(self) -> np.ndarray | None:
+        """Host bbox; materializes bbox_dev on first use (blocking) if the
+        drain hasn't already installed it."""
+        if self.bbox is None and self.bbox_dev is not None:
+            self.install_bbox(np.asarray(self.bbox_dev))
+        return self.bbox
+
+    def install_bbox(self, b: np.ndarray):
+        self.bbox = b if np.all(np.isfinite(b)) else None
+        self.bbox_dev = None
 
     def recompute_bbox(self):
         pts = np.asarray(self.surf_xyz)[np.asarray(self.surf_mask)]
         if len(pts):
             self.bbox = np.stack([pts.min(0), pts.max(0)])
         return self.bbox
+
+
+@jax.jit
+def masked_bbox(pts: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(2, 3) min/max of masked points; +-inf rows when empty."""
+    big = jnp.where(mask[:, None], pts, jnp.inf)
+    small = jnp.where(mask[:, None], pts, -jnp.inf)
+    return jnp.stack([jnp.min(big, axis=0), jnp.max(small, axis=0)])
 
 
 def judge_new_submap(accu_tran: float, accu_rot: float, accu_frame: int,
@@ -147,6 +171,34 @@ def fixed_count_downsample_mask(mask: jnp.ndarray, target: int,
     return mask & (u < ratio)
 
 
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+def _merge_stacked(poses, xyz, mask, leaf, capacity):
+    """(K,4,4), (K,P,3), (K,P) -> world-frame voxel-unique (capacity,3)."""
+    from ..ops import voxel as _voxel
+    from ..utils import se3 as _se3
+
+    world = jax.vmap(_se3.transform_points)(poses, xyz)
+    out, om, _ = _voxel.voxel_downsample(
+        world.reshape(-1, 3), mask.reshape(-1), leaf, capacity)
+    return out, om
+
+
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+def _merge_stacked_classes(poses, xyz, mask, leaf, capacity):
+    """(K,5,Q,3), (K,5,Q) -> per-class world-frame voxel-unique (5,C,3)."""
+    from ..ops import voxel as _voxel
+    from ..utils import se3 as _se3
+
+    world = jax.vmap(
+        lambda T, cls: jax.vmap(lambda p: _se3.transform_points(T, p))(cls)
+    )(poses, xyz)  # (K, 5, Q, 3)
+    allp = jnp.moveaxis(world, 1, 0).reshape(xyz.shape[1], -1, 3)
+    allm = jnp.moveaxis(mask, 1, 0).reshape(mask.shape[1], -1)
+    out, om, _ = jax.vmap(
+        lambda p, m: _voxel.voxel_downsample(p, m, leaf, capacity))(allp, allm)
+    return out, om
+
+
 class SubMapCollector:
     """Host-side accumulation of keyframes into submaps (makeSubMapThread's
     submap bookkeeping, subMapOptmizationNode.cpp:672-718 + saveSubMap
@@ -200,56 +252,56 @@ class SubMapCollector:
         from ..ops import voxel as _voxel
         from ..utils import se3 as _se3
 
-        # pad the member count to a FIXED size so every submap close reuses
-        # one compiled program per cloud type (a varying concat length would
+        # pad the member count to a FIXED bucket size so submap closes reuse
+        # a small set of compiled programs (a varying concat length would
         # recompile per distinct keyframe count — ~30-60 s each through the
-        # TPU remote-compile relay)
+        # TPU remote-compile relay). Buckets instead of one max-size pad:
+        # closes cut by yaw/translation typically hold far fewer than
+        # frames_size members, and the merge sorts scale with the concat.
         n_pad = self.cfg.frames_size + 1
+        for b in (4, 8, 12, 16):
+            if len(kfs) <= b < n_pad:
+                n_pad = b
+                break
 
-        def merge(xyz_list, mask_list, capacity, leaf):
-            pts = []
-            for kf, xyz, m in zip(kfs, xyz_list, mask_list):
-                T = jnp.asarray(kf.pose_init, dtype=jnp.float32)
-                pts.append((_se3.transform_points(T, xyz), m))
-            per = pts[0][0].shape[0]
-            for _ in range(len(kfs), n_pad):
-                pts.append((jnp.zeros((per, 3), jnp.float32),
-                            jnp.zeros((per,), bool)))
-            allp = jnp.concatenate([p for p, _ in pts[:n_pad]])
-            allm = jnp.concatenate([m for _, m in pts[:n_pad]])
-            out, om, _ = _voxel.voxel_downsample(allp, allm, leaf, capacity)
-            return out, om
+        # ONE stacked device program per cloud type: stacking host-side then
+        # transforming under vmap inside a single jitted call keeps the
+        # dispatch count flat (~6 ops) — the previous per-keyframe
+        # transform_points loop issued ~70 ops per close, and the tunnel's
+        # bounded in-flight window turned that into ~0.5 s of host blocking
+        # (backpressure, not compute).
+        poses = jnp.asarray(np.stack(
+            [kf.pose_init for kf in kfs]
+            + [np.eye(4, dtype=np.float32)] * (n_pad - len(kfs))
+        ).astype(np.float32))
+
+        def stack(get_xyz, get_mask, shape):
+            xs = [get_xyz(kf) for kf in kfs]
+            ms = [get_mask(kf) for kf in kfs]
+            pad = n_pad - len(kfs)
+            if pad:
+                xs += [jnp.zeros(shape, jnp.float32)] * pad
+                ms += [jnp.zeros(shape[:-1], bool)] * pad
+            return jnp.stack(xs), jnp.stack(ms)
 
         # submap voxel leaves (params.yaml subMapCornerLeafSize/subMapSurfLeafSize)
-        corner, corner_m = merge(
-            [kf.corner_xyz for kf in kfs], [kf.corner_mask for kf in kfs],
-            self.cfg.corner_capacity, 0.2,
-        )
-        surf, surf_m = merge(
-            [kf.surf_xyz for kf in kfs], [kf.surf_mask for kf in kfs],
-            self.cfg.surf_capacity, 0.4,
-        )
+        cx, cm = stack(lambda kf: kf.corner_xyz, lambda kf: kf.corner_mask,
+                       kfs[0].corner_xyz.shape)
+        corner, corner_m = _merge_stacked(
+            poses, cx, cm, 0.2, self.cfg.corner_capacity)
+        sx, smk = stack(lambda kf: kf.surf_xyz, lambda kf: kf.surf_mask,
+                        kfs[0].surf_xyz.shape)
+        surf, surf_m = _merge_stacked(
+            poses, sx, smk, 0.4, self.cfg.surf_capacity)
         # per-category clouds (submap_t's 5 merged class clouds,
         # subMap.h:435-664): transform each keyframe's ClassClouds to world,
         # concat, voxel-compact per class
         class_xyz = class_mask = None
         if self.merge_classes:
-            per_class_pts, per_class_m = [], []
-            for kf in kfs:
-                T = jnp.asarray(kf.pose_init, dtype=jnp.float32)
-                per_class_pts.append(jax.vmap(
-                    lambda p: _se3.transform_points(T, p))(kf.clouds.xyz))
-                per_class_m.append(kf.clouds.mask)
-            qk = per_class_pts[0].shape[1]
-            for _ in range(len(kfs), n_pad):
-                per_class_pts.append(jnp.zeros((5, qk, 3), jnp.float32))
-                per_class_m.append(jnp.zeros((5, qk), bool))
-            allp = jnp.concatenate(per_class_pts[:n_pad], axis=1)
-            allm = jnp.concatenate(per_class_m[:n_pad], axis=1)
-            ds = jax.vmap(
-                lambda p, m: _voxel.voxel_downsample(
-                    p, m, 0.4, self.cfg.class_capacity))(allp, allm)
-            class_xyz, class_mask = ds[0], ds[1]
+            kx, km = stack(lambda kf: kf.clouds.xyz, lambda kf: kf.clouds.mask,
+                           kfs[0].clouds.xyz.shape)
+            class_xyz, class_mask = _merge_stacked_classes(
+                poses, kx, km, 0.4, self.cfg.class_capacity)
         sm = SubMap(
             index=len(self.submaps),
             pose_init=base,
@@ -262,6 +314,6 @@ class SubMapCollector:
         )
         for kf in kfs:
             kf.submap_id = sm.index
-        sm.recompute_bbox()
+        sm.bbox_dev = masked_bbox(sm.surf_xyz, sm.surf_mask)
         self.submaps.append(sm)
         return sm

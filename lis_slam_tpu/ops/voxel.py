@@ -90,18 +90,26 @@ def voxel_downsample(
     leaf: float,
     capacity: int,
     centroid: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One point per voxel. Returns (points (C,3), mask (C,), count).
+    payloads: tuple = (),
+) -> tuple:
+    """One point per voxel. Returns (points (C,3), mask (C,), count
+    [, payloads (C,) x len(payloads)]).
 
     Default keeps the first point of each voxel (sort+gather only — TPU
     scatter-adds cost ~10x more than sorts, so the centroid average the
     PCL VoxelGrid computes is opt-in via centroid=True). First-point-per-
     voxel is the standard accelerator variant (e.g. KISS-ICP) and changes
     representative positions by at most leaf/2.
+
+    `payloads`: optional per-point float columns that ride the sorting
+    networks and come out aligned with the representative points (e.g. the
+    per-point semantic weight of the matched clouds). Not supported with
+    centroid=True.
     """
     h = jnp.where(mask, _voxel_key(points, mask, leaf), _SENTINEL)
     n = points.shape[0]
     if centroid:
+        assert not payloads
         order = jnp.argsort(h)
         hs = h[order]
         ps = points[order]
@@ -122,19 +130,28 @@ def voxel_downsample(
     # first-in-input-order point per voxel (stability).
     iota = jnp.arange(n, dtype=jnp.int32)
     s = jax.lax.sort(
-        (h, iota, points[:, 0], points[:, 1], points[:, 2]), num_keys=2)
+        (h, iota, points[:, 0], points[:, 1], points[:, 2]) + tuple(payloads),
+        num_keys=2)
     hs = s[0]
     is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
     is_new = is_new & (hs != _SENTINEL)
     rank = jnp.where(is_new, iota, jnp.int32(n) + iota)
-    s2 = jax.lax.sort((rank, s[2], s[3], s[4]), num_keys=1)
+    s2 = jax.lax.sort((rank,) + s[2:], num_keys=1)
     k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity) < k
-    reps = jnp.stack([s2[1][:capacity], s2[2][:capacity],
-                      s2[3][:capacity]], 1)
-    if capacity > n:
-        reps = jnp.pad(reps, ((0, capacity - n), (0, 0)))
+
+    def cap(col):
+        c = col[:capacity]
+        if capacity > n:
+            c = jnp.pad(c, (0, capacity - n))
+        return c
+
+    reps = jnp.stack([cap(s2[1]), cap(s2[2]), cap(s2[3])], 1)
     out = jnp.where(out_mask[:, None], reps, 0.0)
+    if payloads:
+        out_pay = tuple(jnp.where(out_mask, cap(s2[4 + i]), 0.0)
+                        for i in range(len(payloads)))
+        return (out, out_mask, k) + out_pay
     return out, out_mask, k
 
 
@@ -177,6 +194,8 @@ def voxel_merge_aged(
     window: int,
     leaf: float,
     capacity: int,
+    new_flag: jnp.ndarray | None = None,  # (A,) optional bool payload
+    map_flag: jnp.ndarray | None = None,  # (C,)
 ):
     """Incremental sliding-window map update, one stable sort.
 
@@ -188,8 +207,14 @@ def voxel_merge_aged(
     occurrence per voxel, so re-observed voxels refresh position and age),
     and one sort-dedup produces the new fixed-capacity buffer.
 
-    Returns (points (C,3), age (C,), mask (C,)).
+    With `new_flag`/`map_flag`, a per-point boolean payload rides the same
+    sorting networks (e.g. the dynamic-class flag of the semantic local map
+    — folding the reference's separate dynamic-class cloud into the surf
+    map buffer saves a whole second merge per keyframe).
+
+    Returns (points (C,3), age (C,), mask (C,)[, flag (C,)]).
     """
+    with_flag = new_flag is not None
     alive = map_mask & (map_age > kf_index - window)
     pts = jnp.concatenate([new_points, map_points], axis=0)
     age = jnp.concatenate(
@@ -207,14 +232,18 @@ def voxel_merge_aged(
     n = pts.shape[0]
     h = jnp.where(mask, _voxel_key_morton(pts, mask, leaf), _SENTINEL)
     iota = jnp.arange(n, dtype=jnp.int32)
-    s = jax.lax.sort(
-        (h, iota, pts[:, 0], pts[:, 1], pts[:, 2], age), num_keys=2)
+    cols = (h, iota, pts[:, 0], pts[:, 1], pts[:, 2], age)
+    if with_flag:
+        flag = jnp.concatenate(
+            [new_flag.astype(jnp.int32), map_flag.astype(jnp.int32)])
+        cols = cols + (flag,)
+    s = jax.lax.sort(cols, num_keys=2)
     hs = s[0]
     is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
     is_new = is_new & (hs != _SENTINEL)
     rank = jnp.where(is_new, jnp.arange(n, dtype=jnp.int32),
                      jnp.int32(n) + jnp.arange(n, dtype=jnp.int32))
-    s2 = jax.lax.sort((rank, s[2], s[3], s[4], s[5]), num_keys=1)
+    s2 = jax.lax.sort((rank,) + s[2:], num_keys=1)
     k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity) < k
     out_pts = jnp.where(
@@ -223,6 +252,8 @@ def voxel_merge_aged(
         0.0,
     )
     out_age = jnp.where(out_mask, s2[4][:capacity], -(10**9))
+    if with_flag:
+        return out_pts, out_age, out_mask, (s2[5][:capacity] > 0) & out_mask
     return out_pts, out_age, out_mask
 
 

@@ -111,13 +111,17 @@ class ScanInput(NamedTuple):
     vel_valid: jnp.ndarray = jnp.bool_(False)
 
 
-def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
+def preprocess(scan: ScanInput, cfg: SlamConfig, return_ext: bool = False):
     """Pretreatment -> deskew -> projection -> extraction -> features.
 
     Deskew source follows cfg.imu.deskew_mode: "gyro" (laserProcessing
     IMU-rotation path) when use_imu, "velocity" (the dataPretreat
     constant-velocity alternate front-end, dataPretreatNode.cpp:184-253),
-    or none."""
+    or none.
+
+    With return_ext=True also returns the compacted ExtractedCloud (whose
+    `src` column lets per-raw-point payloads — semantic labels — gather
+    onto the grid without a second projection pass)."""
     pre = pretreatment.pretreat(scan.points, scan.valid, cfg.sensor)
     if cfg.imu.deskew_mode == "velocity":
         from ..ops import velocity_deskew as vd
@@ -139,8 +143,9 @@ def preprocess(scan: ScanInput, cfg: SlamConfig) -> feat_ops.FeatureClouds:
         pts, pre.points[:, 3], pre.ring, pre.rel_time, pre.valid, cfg.sensor,
         want_image=False,
     )
-    return feat_ops.extract_features(
+    fc = feat_ops.extract_features(
         ext, cfg.feature, greedy=cfg.feature.greedy_selection)
+    return (fc, ext) if return_ext else fc
 
 
 def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,
@@ -234,7 +239,7 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
     uniform=True uses the cond-free masked keyframe insert (for vmapped
     multi-sequence batching, where lax.cond would run both branches and
     diverge per sequence)."""
-    fc = preprocess(scan, cfg)
+    fc, ext = preprocess(scan, cfg, return_ext=True)
 
     # ---- initial guess cascade (updateInitialGuess :297-419):
     # external (IMU preintegration) guess > constant velocity > hold ----
@@ -259,6 +264,16 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
         mc_xyz, mc_mask, _ = voxel.voxel_downsample(
             fc.corner_xyz, fc.corner_mask, cfg.matching.matched_corner_leaf,
             cfg.matching.matched_corner_capacity)
+        ms_xyz, ms_mask, _ = voxel.voxel_downsample(
+            fc.surf_xyz, fc.surf_mask, cfg.matching.matched_surf_leaf,
+            cfg.matching.matched_surf_capacity)
+    elif cfg.matching.match_source == "hybrid":
+        # sharp corner subset (rotation constraint comes from few strong
+        # edges) + voxel-UNIFORM downsample of the FULL surf cloud (the
+        # measured source of full_ds's accuracy — spatial coverage, see
+        # docs/PERF.md "coverage beats count"): full_ds accuracy at near
+        # sharp-mode speed
+        mc_xyz, mc_mask = fc.sharp_corner_xyz, fc.sharp_corner_mask
         ms_xyz, ms_mask, _ = voxel.voxel_downsample(
             fc.surf_xyz, fc.surf_mask, cfg.matching.matched_surf_leaf,
             cfg.matching.matched_surf_capacity)
@@ -344,14 +359,14 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
         n_valid=gn.n_valid,
         iterations=gn.it,
     )
-    return state, out, fc
+    return state, out, fc, ext
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def odom_step(state: OdomState, scan: ScanInput,
               cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
     """Single-sequence per-scan step (keyframe insert under lax.cond)."""
-    state, out, _fc = _odom_step_impl(state, scan, cfg, uniform=False)
+    state, out, _fc, _ext = _odom_step_impl(state, scan, cfg, uniform=False)
     return state, out
 
 
@@ -359,5 +374,5 @@ def odom_step(state: OdomState, scan: ScanInput,
 def odom_step_uniform(state: OdomState, scan: ScanInput,
                       cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
     """Cond-free per-scan step for vmapped multi-sequence replay."""
-    state, out, _fc = _odom_step_impl(state, scan, cfg, uniform=True)
+    state, out, _fc, _ext = _odom_step_impl(state, scan, cfg, uniform=True)
     return state, out

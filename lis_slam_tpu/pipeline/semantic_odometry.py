@@ -37,7 +37,13 @@ from . import odometry
 
 
 class SemanticOdomState(NamedTuple):
-    """Sliding semantic local map (localMap_t equivalent)."""
+    """Sliding semantic local map (localMap_t equivalent).
+
+    The dynamic-class cloud (the reference's separate per-class localMap
+    cloud used for map-based removal gating, subMap.h:1065-1100) is folded
+    into the surf buffer as a per-point flag — surf features already
+    include the dynamic category, so a separate buffer duplicated those
+    points and cost a second aged-voxel merge every keyframe."""
 
     pose: jnp.ndarray  # (6,) refined pose
     kf_count: jnp.ndarray  # () int32
@@ -49,9 +55,7 @@ class SemanticOdomState(NamedTuple):
     surf_w: jnp.ndarray  # (Ms,) per-point semantic weight
     surf_age: jnp.ndarray
     surf_mask: jnp.ndarray
-    dyn_pts: jnp.ndarray  # dynamic-class map for removal gating
-    dyn_age: jnp.ndarray
-    dyn_mask: jnp.ndarray
+    surf_dyn: jnp.ndarray  # (Ms,) dynamic-class flag (removal gating)
 
 
 class SemanticScan(NamedTuple):
@@ -79,9 +83,8 @@ def _caps(cfg: SlamConfig):
 
 
 def init_state(cfg: SlamConfig) -> SemanticOdomState:
-    mc = cfg.submap.corner_capacity
-    ms = cfg.submap.surf_capacity
-    md = cfg.submap.corner_capacity
+    mc = cfg.submap.local_corner_capacity
+    ms = cfg.submap.local_surf_capacity
     return SemanticOdomState(
         pose=jnp.zeros(6),
         kf_count=jnp.int32(0),
@@ -92,43 +95,18 @@ def init_state(cfg: SlamConfig) -> SemanticOdomState:
         surf_w=jnp.ones((ms,)),
         surf_age=jnp.full((ms,), -(10**9), jnp.int32),
         surf_mask=jnp.zeros(ms, bool),
-        dyn_pts=jnp.zeros((md, 3)),
-        dyn_age=jnp.full((md,), -(10**9), jnp.int32),
-        dyn_mask=jnp.zeros(md, bool),
+        surf_dyn=jnp.zeros(ms, bool),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def build_semantic_scan(scan: odometry.ScanInput, labels: jnp.ndarray,
-                        cfg: SlamConfig) -> SemanticScan:
-    """keyframeInit + currentCloudInit: project, attach labels, split into
-    the two back-end feature sets with per-point weights.
-
-    `labels` are per-raw-point learning-class ids (from RangeNet's argmax on
-    the projected image, or ground truth in tests)."""
+def _semantic_scan_from_grids(xyz: jnp.ndarray, mask: jnp.ndarray,
+                              lab_img: jnp.ndarray,
+                              cfg: SlamConfig) -> SemanticScan:
+    """keyframeInit + currentCloudInit core over (N, H) grids: split into
+    the two back-end feature sets with per-point weights + the 5
+    voxel-downsampled per-category keyframe clouds."""
     qc, qs = _caps(cfg)
-    pre = pretreatment.pretreat(scan.points, scan.valid, cfg.sensor)
-    img = projection.project(
-        pre.points[:, :3], pre.points[:, 3], pre.ring, pre.rel_time,
-        pre.valid, cfg.sensor,
-    )
-    # label image: scatter labels with the same winner policy as project
-    # (approximate: nearest raw point by re-projection is overkill; the
-    # label of ANY point in the pixel is representative)
-    n, h = img.rng.shape
-    x, y = pre.points[:, 0], pre.points[:, 1]
-    rngs = jnp.linalg.norm(pre.points[:, :3], axis=-1)
-    ang_res = 360.0 / h
-    horizon_angle = jnp.arctan2(x, y) * (180.0 / jnp.pi)
-    col = (-jnp.round((horizon_angle - 90.0) / ang_res)).astype(jnp.int32) + h // 2
-    col = jnp.where(col >= h, col - h, col)
-    ok = pre.valid & (pre.ring >= 0) & (pre.ring < n) & (col >= 0) & (col < h)
-    if cfg.sensor.downsample_rate > 1:
-        ok = ok & (pre.ring % cfg.sensor.downsample_rate == 0)
-    flat = jnp.where(ok, pre.ring * h + col, n * h)
-    lab_img = jnp.zeros((n * h + 1,), jnp.int32).at[flat].max(labels)
-    lab_img = lab_img[: n * h].reshape(n, h)
-    sem = fusion.label_images(lab_img, img.mask)
+    sem = fusion.label_images(lab_img, mask)
 
     cat = sem.category
     w = sem.weight
@@ -137,20 +115,20 @@ def build_semantic_scan(scan: odometry.ScanInput, labels: jnp.ndarray,
     ground_idx = int(np.where(L.CATEGORY_IDS == L.CAT_GROUND)[0][0])
     building_idx = int(np.where(L.CATEGORY_IDS == L.CAT_BUILDING)[0][0])
 
-    corner_sel = (cat == pole_idx) & img.mask
+    corner_sel = (cat == pole_idx) & mask
     surf_sel = (
         (cat == ground_idx) | (cat == building_idx) | (cat == dyn_idx)
-    ) & img.mask
-    dyn_sel = (cat == dyn_idx) & img.mask
+    ) & mask
+    dyn_sel = (cat == dyn_idx) & mask
 
     def compact(sel, payload_w, extra, capacity):
         flatm = sel.reshape(-1)
-        xyz = img.xyz.reshape(-1, 3)
+        fxyz = xyz.reshape(-1, 3)
         pw = payload_w.reshape(-1)
         ex = extra.reshape(-1)
         pos = jnp.cumsum(flatm) - 1
         dest = jnp.where(flatm & (pos < capacity), pos, capacity)
-        buf = jnp.zeros((capacity + 1, 3)).at[dest].set(xyz)[:capacity]
+        buf = jnp.zeros((capacity + 1, 3)).at[dest].set(fxyz)[:capacity]
         wbuf = jnp.ones((capacity + 1,)).at[dest].set(pw)[:capacity]
         ebuf = jnp.zeros((capacity + 1,), ex.dtype).at[dest].set(ex)[:capacity]
         cnt = jnp.minimum(jnp.sum(flatm.astype(jnp.int32)), capacity)
@@ -160,26 +138,99 @@ def build_semantic_scan(scan: odometry.ScanInput, labels: jnp.ndarray,
     s_xyz, s_w, s_dyn, s_mask = compact(
         surf_sel, w, dyn_sel.astype(jnp.float32), qs)
 
+    # --- matched-cloud voxel downsample (keyframeInit's per-class *DS
+    # clouds feed currentCloudInit, subMapOptmizationNode.cpp:807-893): the
+    # round-2 refine matched the RAW 32k-point surf compaction, paying ~4x
+    # the GN cost of the reference design for no accuracy gain. Weights and
+    # the dynamic flag ride the downsample's sorting networks. ---
+    c_xyz, c_mask, _nc, c_w = voxel.voxel_downsample(
+        c_xyz, c_mask, cfg.voxel.submap_corner_leaf,
+        cfg.submap.matched_corner_capacity, payloads=(c_w,))
+    s_xyz, s_mask, _ns, s_w, s_dyn = voxel.voxel_downsample(
+        s_xyz, s_mask, cfg.submap.refine_surf_leaf,
+        cfg.submap.matched_surf_capacity, payloads=(s_w, s_dyn))
+
     # --- per-category keyframe clouds (keyframe_t semantic clouds +
-    # per-class voxel downsample, subMapOptmizationNode.cpp:807-821) ---
+    # per-class voxel downsample, subMapOptmizationNode.cpp:807-821), all 5
+    # classes in ONE two-key sort: lex key = (category, voxel cell), mark
+    # first-in-(class, voxel), scatter winners to class_id * qk + in-class
+    # rank. Replaces 5 separate compact + voxel_downsample passes (each 2
+    # sorts) with 1 sort + 1 scatter. ---
     qk = cfg.submap.keyframe_class_capacity
-    class_bufs, class_masks = [], []
-    for k in range(len(L.CATEGORY_IDS)):
-        sel = (cat == k) & img.mask
-        xyz_k, _w, _e, m_k = compact(sel, w, w, qk)
-        leaf = (cfg.voxel.submap_corner_leaf if k == pole_idx
-                else cfg.voxel.submap_surf_leaf)
-        xyz_k, m_k, _n = voxel.voxel_downsample(xyz_k, m_k, leaf, qk)
-        class_bufs.append(xyz_k)
-        class_masks.append(m_k)
+    n_cat = len(L.CATEGORY_IDS)
+    flat_cat = cat.reshape(-1)
+    flat_mask = mask.reshape(-1) & (flat_cat >= 0)
+    flat_xyz = xyz.reshape(-1, 3)
+    key_pole = voxel._voxel_key(
+        flat_xyz, flat_mask, cfg.voxel.submap_corner_leaf)
+    key_surf = voxel._voxel_key(
+        flat_xyz, flat_mask, cfg.voxel.submap_surf_leaf)
+    vkey = jnp.where(flat_cat == pole_idx, key_pole, key_surf)
+    ckey = jnp.where(flat_mask, flat_cat, n_cat).astype(jnp.int32)
+    s = jax.lax.sort(
+        (ckey, vkey, flat_xyz[:, 0], flat_xyz[:, 1], flat_xyz[:, 2]),
+        num_keys=2)
+    sc, sv = s[0], s[1]
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (sc[1:] != sc[:-1]) | (sv[1:] != sv[:-1])])
+    win = first & (sc < n_cat)
+    counts = jnp.minimum(jnp.sum(
+        win[:, None] & (sc[:, None] == jnp.arange(n_cat)[None, :]),
+        axis=0).astype(jnp.int32), qk)
+    grank = jnp.cumsum(win.astype(jnp.int32)) - 1
+    # exclusive per-class start = total winners in classes < c
+    per_class_total = jnp.sum(
+        win[:, None] & (sc[:, None] == jnp.arange(n_cat)[None, :]),
+        axis=0).astype(jnp.int32)
+    start = jnp.cumsum(per_class_total) - per_class_total
+    rank_in = grank - start[jnp.clip(sc, 0, n_cat - 1)]
+    dest = jnp.where(win & (rank_in < qk),
+                     jnp.clip(sc, 0, n_cat - 1) * qk + rank_in, n_cat * qk)
+    sxyz = jnp.stack([s[2], s[3], s[4]], axis=1)
+    class_flat = jnp.zeros((n_cat * qk + 1, 3)).at[dest].set(
+        sxyz, unique_indices=True)[: n_cat * qk]
+    class_xyz = class_flat.reshape(n_cat, qk, 3)
+    class_mask = jnp.arange(qk)[None, :] < counts[:, None]
 
     return SemanticScan(
         corner_xyz=c_xyz, corner_w=c_w, corner_mask=c_mask,
         surf_xyz=s_xyz, surf_w=s_w, surf_mask=s_mask,
         surf_is_dynamic=s_dyn > 0.5,
-        class_xyz=jnp.stack(class_bufs),
-        class_mask=jnp.stack(class_masks),
+        class_xyz=class_xyz,
+        class_mask=class_mask,
     )
+
+
+def semantic_scan_from_ext(ext: projection.ExtractedCloud,
+                           labels: jnp.ndarray,
+                           cfg: SlamConfig) -> SemanticScan:
+    """Build the SemanticScan from the front end's ALREADY-projected
+    extracted cloud: each compacted grid slot carries its raw-point index
+    (ExtractedCloud.src), so the per-slot label is a direct gather — no
+    second pretreatment/projection pass (the round-2 fused step re-projected
+    the scan inside the keyframe branch, ~6 ms/keyframe)."""
+    src_ok = ext.src >= 0
+    lab_img = jnp.where(
+        src_ok, labels[jnp.clip(ext.src, 0, labels.shape[0] - 1)], 0)
+    return _semantic_scan_from_grids(
+        ext.xyz, ext.mask & src_ok, lab_img, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_semantic_scan(scan: odometry.ScanInput, labels: jnp.ndarray,
+                        cfg: SlamConfig) -> SemanticScan:
+    """keyframeInit + currentCloudInit: project, attach labels, split into
+    the back-end feature sets (standalone API; the fused SLAM step uses
+    `semantic_scan_from_ext` to reuse the front end's projection).
+
+    `labels` are per-raw-point learning-class ids (from RangeNet's argmax on
+    the projected image, or ground truth in tests)."""
+    pre = pretreatment.pretreat(scan.points, scan.valid, cfg.sensor)
+    _img, ext = projection.project_and_extract(
+        pre.points[:, :3], pre.points[:, 3], pre.ring, pre.rel_time,
+        pre.valid, cfg.sensor, want_image=False,
+    )
+    return semantic_scan_from_ext(ext, labels, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -236,7 +287,7 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
 
     dyn_keep = sm.dynamic_removal_mask(
         s_w_pts, sscan.surf_mask & sscan.surf_is_dynamic,
-        state.dyn_pts, state.dyn_mask,
+        state.surf_pts, state.surf_mask & state.surf_dyn,
         pose[3:], jnp.float32(cfg.submap.dynamic_removal_radius),
         jnp.float32(cfg.submap.dynamic_near),
         jnp.float32(cfg.submap.dynamic_min),
@@ -250,15 +301,15 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
         state.corner_mask, state.kf_count, K,
         cfg.voxel.submap_corner_leaf, state.corner_pts.shape[0],
     )
-    surf_pts, surf_age, surf_mask = voxel.voxel_merge_aged(
+    # dynamic-class flag rides the surf merge's sorting network — the
+    # separate dynamic map buffer of round 2 duplicated these points and
+    # cost a second full aged-voxel merge per keyframe
+    surf_pts, surf_age, surf_mask, surf_dyn = voxel.voxel_merge_aged(
         s_w_pts, surf_insert, state.surf_pts, state.surf_age,
         state.surf_mask, state.kf_count, K,
         cfg.voxel.submap_surf_leaf, state.surf_pts.shape[0],
-    )
-    dyn_pts, dyn_age, dyn_mask = voxel.voxel_merge_aged(
-        s_w_pts, sscan.surf_mask & sscan.surf_is_dynamic & dyn_keep,
-        state.dyn_pts, state.dyn_age, state.dyn_mask, state.kf_count, K,
-        cfg.voxel.submap_surf_leaf, state.dyn_pts.shape[0],
+        new_flag=sscan.surf_is_dynamic & dyn_keep,
+        map_flag=state.surf_dyn,
     )
     # NOTE: per-point weights for map points default to 1.0 — the reference
     # weights only the CURRENT scan's points, which sscan.*_w covers.
@@ -267,7 +318,6 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
         kf_count=state.kf_count + 1,
         corner_pts=corner_pts, corner_age=corner_age, corner_mask=corner_mask,
         surf_pts=surf_pts, surf_w=state.surf_w, surf_age=surf_age,
-        surf_mask=surf_mask,
-        dyn_pts=dyn_pts, dyn_age=dyn_age, dyn_mask=dyn_mask,
+        surf_mask=surf_mask, surf_dyn=surf_dyn,
     )
     return new_state, pose, gn

@@ -104,7 +104,7 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
 
     The host never needs to know is_keyframe at dispatch time; it learns it
     from the batched drain afterwards."""
-    odom2, out, fc = odometry._odom_step_impl(
+    odom2, out, fc, ext = odometry._odom_step_impl(
         fstate.odom, scan, cfg, uniform=False)
     with_sem = lab_mode != "none"
     qk = cfg.submap.keyframe_class_capacity
@@ -121,7 +121,9 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
         else:
             lab = lab_raw
         if with_sem:
-            sscan = semo.build_semantic_scan(scan, lab, cfg)
+            # reuse the front end's projection: ext.src gathers the labels
+            # onto the compacted grid (no second pretreat/project pass)
+            sscan = semo.semantic_scan_from_ext(ext, lab, cfg)
             T_inc = (se3.pose_to_matrix(out.pose)
                      @ se3.transform_inverse(se3.pose_to_matrix(_lf)))
             guess = se3.matrix_to_pose(T_inc @ se3.pose_to_matrix(_lr))
@@ -284,6 +286,16 @@ class SemanticSlam:
         self._pending: list[_PendingScan] = []
         self._pending_loop: list[tuple[int, np.ndarray, tuple]] = []
         self._pending_verify: list[tuple[int, int, object]] = []
+        # submap-to-submap registrations dispatched at close, consumed at
+        # the next drain: (prev_idx, idx, prev_init, cur_init, fallback_z,
+        # device gn pose | None)
+        self._pending_submap: list[tuple] = []
+        # one in-flight graph optimize: (n_nodes, device nodes)
+        self._pending_opt: tuple[int, object] | None = None
+        # submap bboxes awaiting the batched readback: (submap, device bbox)
+        self._pending_bbox: list[tuple] = []
+        # registrations waiting for both submaps' bboxes: (prev_idx, idx)
+        self._to_register: list[tuple[int, int]] = []
 
     # -- compatibility accessors (bench/tests/checkpoint address the odom /
     # semantic device states directly) --
@@ -359,8 +371,14 @@ class SemanticSlam:
         self._pending_loop = []
         verify_pend = self._pending_verify
         self._pending_verify = []
+        sub_pend = self._pending_submap
+        self._pending_submap = []
+        opt_pend = self._pending_opt
+        self._pending_opt = None
+        bbox_pend = self._pending_bbox
+        self._pending_bbox = []
 
-        fetch = [None, None, None]
+        fetch = [None, None, None, None, None, None]
         if pend:
             fetch[0] = _pack_scalars(
                 [p.out.pose for p in pend],
@@ -373,7 +391,62 @@ class SemanticSlam:
         if verify_pend:
             fetch[2] = [(r.transform, r.fitness)
                         for (_kf, _cand, r) in verify_pend]
-        scalars, loop_res, verify_res = jax.device_get(tuple(fetch))
+        if sub_pend:
+            fetch[3] = [dev for (*_rest, dev) in sub_pend]
+        if opt_pend is not None:
+            fetch[4] = opt_pend[1]
+        if bbox_pend:
+            fetch[5] = [dev for (_s, dev) in bbox_pend]
+        (scalars, loop_res, verify_res, sub_res,
+         opt_res, bbox_res) = jax.device_get(tuple(fetch))
+
+        # ---- install submap bboxes, then dispatch registrations whose
+        # submaps both have one ----
+        if bbox_pend:
+            for (s, _dev), b in zip(bbox_pend, bbox_res):
+                s.install_bbox(np.asarray(b))
+        if self._to_register:
+            ready, waiting = [], []
+            for (i, j) in self._to_register:
+                if (self.collector.submaps[i].bbox_dev is None
+                        and self.collector.submaps[j].bbox_dev is None):
+                    ready.append((i, j))
+                else:
+                    waiting.append((i, j))
+            self._to_register = waiting
+            for (i, j) in ready:
+                prev = self.collector.submaps[i]
+                cur = self.collector.submaps[j]
+                fallback = np.linalg.inv(prev.pose_init) @ cur.pose_init
+                with self.timer.stage("submap_register"):
+                    dev = self._register_submaps_dispatch(prev, cur)
+                self._pending_submap.append(
+                    (i, j, prev.pose_init.copy(), cur.pose_init.copy(),
+                     fallback, dev))
+
+        # ---- install the optimized node poses (dispatched last drain) ----
+        if opt_pend is not None:
+            opt = self.graph.consume_optimized(opt_pend[0], opt_res)
+            for k in range(min(len(opt), len(self.collector.submaps))):
+                self.collector.submaps[k].pose_opt = opt[k]
+
+        # ---- consume submap-to-submap registrations -> odom factors ----
+        any_factor = False
+        if sub_pend:
+            for (i, j, prev_init, cur_init, fallback, _dev), fetched in zip(
+                    sub_pend, sub_res):
+                if fetched is None:
+                    z = fallback
+                else:
+                    refined = np.asarray(fetched, np.float64)
+                    delta = np.linalg.inv(cur_init) @ refined
+                    # reject refinements that jump too far from odometry
+                    if np.linalg.norm(delta[:3, 3]) > 2.0:
+                        z = fallback
+                    else:
+                        z = np.linalg.inv(prev_init) @ refined
+                self.graph.add_odom_edge(i, j, z)
+                any_factor = any_factor or (j % 5 == 0)
 
         # ---- consume verified loops (dispatched 2 drains ago) ----
         if verify_pend:
@@ -417,6 +490,13 @@ class SemanticSlam:
                 with self.timer.stage("keyframe"):
                     self._on_keyframe(p, pose6, refined6)
 
+        # ---- loop factors + (async) global optimize: dispatched here,
+        # installed at the NEXT drain (the reference's 1 Hz
+        # subMapOptmizationThread has the same off-critical-path latency) ----
+        if self._flush_loop_factors() or any_factor:
+            with self.timer.stage("graph_optimize"):
+                self._pending_opt = self.graph.optimize_async()
+
     # ------------------------------------------------------------------
     def _on_keyframe(self, p: _PendingScan, pose6: np.ndarray,
                      refined6: np.ndarray):
@@ -425,19 +505,20 @@ class SemanticSlam:
         submap grouping."""
         cfg = self.cfg
         out = p.out
-        T = se3_np.pose_to_matrix(refined6)
+        with self.timer.stage("kf_store"):
+            T = se3_np.pose_to_matrix(refined6)
 
-        kf = sm.Keyframe(
-            index=len(self.keyframes),
-            pose_init=T,
-            pose_opt=T.copy(),
-            timestamp=p.timestamp,
-            clouds=sm.ClassClouds(xyz=out.class_xyz, mask=out.class_mask),
-            corner_xyz=out.corner_xyz, corner_mask=out.corner_mask,
-            surf_xyz=out.surf_xyz, surf_mask=out.surf_mask,
-        )
-        self.keyframes.append(kf)
-        self.kf_scan_ids.append(p.idx)
+            kf = sm.Keyframe(
+                index=len(self.keyframes),
+                pose_init=T,
+                pose_opt=T.copy(),
+                timestamp=p.timestamp,
+                clouds=sm.ClassClouds(xyz=out.class_xyz, mask=out.class_mask),
+                corner_xyz=out.corner_xyz, corner_mask=out.corner_mask,
+                surf_xyz=out.surf_xyz, surf_mask=out.surf_mask,
+            )
+            self.keyframes.append(kf)
+            self.kf_scan_ids.append(p.idx)
 
         # --- loop detection at keyframe rate (loopClosureThread): gate on
         # host poses, score all candidates in ONE async device call ---
@@ -466,7 +547,8 @@ class SemanticSlam:
                     out.desc_sel, out.signature, pose_xyyaw)
 
         # --- submap grouping ---
-        finished = self.collector.add_keyframe(kf)
+        with self.timer.stage("kf_collect"):
+            finished = self.collector.add_keyframe(kf)
         if finished is not None:
             with self.timer.stage("submap_close"):
                 self._on_submap(finished)
@@ -500,20 +582,25 @@ class SemanticSlam:
         self._pending_verify.append((kf_index, cand.matched_id, res))
 
     # ------------------------------------------------------------------
-    def _register_submaps(self, prev: sm.SubMap, cur: sm.SubMap) -> np.ndarray:
+    def _register_submaps_dispatch(self, prev: sm.SubMap, cur: sm.SubMap):
         """Submap-to-submap LOAM registration (extractSubMapCloud +
         subMap2SubMapOptimization, subMapOptmizationNode.cpp:3976-4081,
         4485-4540): refine the relative transform between consecutive
-        submaps inside their bbox intersection (<=30 iterations). Returns
-        the refined measurement z = T_prev^-1 @ T_cur_refined."""
+        submaps inside their bbox intersection (<=30 iterations).
+
+        Dispatch-only: returns the DEVICE pose6 of the refined current
+        submap pose (or None when the bboxes don't intersect); the odom
+        factor z = T_prev^-1 @ T_cur_refined is formed when the result is
+        fetched at the next drain."""
         cfg = self.cfg
         # bbox intersection crop (reference crops both clouds)
-        if prev.bbox is None or cur.bbox is None:
-            return np.linalg.inv(prev.pose_init) @ cur.pose_init
-        lo = np.maximum(prev.bbox[0], cur.bbox[0]) - 2.0
-        hi = np.minimum(prev.bbox[1], cur.bbox[1]) + 2.0
+        pb, cb = prev.get_bbox(), cur.get_bbox()
+        if pb is None or cb is None:
+            return None
+        lo = np.maximum(pb[0], cb[0]) - 2.0
+        hi = np.minimum(pb[1], cb[1]) + 2.0
         if np.any(lo >= hi):
-            return np.linalg.inv(prev.pose_init) @ cur.pose_init
+            return None
         lo_j, hi_j = jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
         pc_mask = sm.bbox_mask(prev.corner_xyz, prev.corner_mask, lo_j, hi_j)
         ps_mask = sm.bbox_mask(prev.surf_xyz, prev.surf_mask, lo_j, hi_j)
@@ -531,31 +618,22 @@ class SemanticSlam:
             prev.corner_xyz, pc_mask, prev.surf_xyz, ps_mask,
             cfg.matching, cfg.matching.max_iterations_submap2submap,
         )
-        refined = np.asarray(se3.pose_to_matrix(gn.pose))
-        # sanity: reject refinements that jump too far from the odometry
-        delta = np.linalg.inv(cur.pose_init) @ refined
-        if np.linalg.norm(delta[:3, 3]) > 2.0:
-            refined = cur.pose_init
-        return np.linalg.inv(prev.pose_init) @ refined
+        return se3.pose_to_matrix(gn.pose)
 
     # ------------------------------------------------------------------
     def _on_submap(self, finished: sm.SubMap):
-        """addOdomFactor per new submap + any pending loop factors +
-        optimize + correctPoses."""
+        """Submap close: add the graph node, dispatch the submap-to-submap
+        registration asynchronously (consumed + optimized at the next
+        drain — addOdomFactor/saveSubMapAndFactor equivalent)."""
         gb = self.graph
         idx = gb.add_node(finished.pose_init)
         assert idx == finished.index
+        self._pending_bbox.append((finished, finished.bbox_dev))
         self._drain_gps()  # fixes whose interval this submap now covers
         if idx > 0:
-            prev = self.collector.submaps[idx - 1]
-            z = self._register_submaps(prev, finished)
-            gb.add_odom_edge(idx - 1, idx, z)
-        added = self._flush_loop_factors()
-        if added or idx % 5 == 0:
-            with self.timer.stage("graph_optimize"):
-                opt = gb.optimize()
-            for k, s in enumerate(self.collector.submaps):
-                s.pose_opt = opt[k]
+            # registration waits for both bboxes (batched readback), then
+            # dispatches; its factor lands one further drain later
+            self._to_register.append((idx - 1, idx))
 
     def _flush_loop_factors(self) -> bool:
         """Add pending verified loops whose submaps both exist; returns
@@ -657,8 +735,11 @@ class SemanticSlam:
     # ------------------------------------------------------------------
     def flush_pipeline(self):
         """Drain every deferred stage (pending scans, loop scores, ICP
-        verifications) to a quiescent state."""
-        while self._pending or self._pending_loop or self._pending_verify:
+        verifications, submap registrations, graph solves) to a quiescent
+        state."""
+        while (self._pending or self._pending_loop or self._pending_verify
+               or self._pending_submap or self._pending_opt is not None
+               or self._pending_bbox or self._to_register):
             self._drain()
 
     def finish(self, build_map: bool = False) -> SlamResult:
@@ -668,8 +749,8 @@ class SemanticSlam:
         tail = self.collector.flush()
         if tail is not None:
             self._on_submap(tail)
-        elif self._flush_loop_factors():
-            pass  # loops verified after the last submap close
+            self.flush_pipeline()  # consume the tail's registration factor
+        self._flush_loop_factors()
         if self.collector.submaps:
             opt = self.graph.optimize()
             for k, s in enumerate(self.collector.submaps):

@@ -150,7 +150,9 @@ def test_submap_collector_cut_and_merge():
     assert len(finished) == 2  # frames_size=3 -> cut at frames 4 and 8
     s0 = finished[0]
     assert s0.kf_indices == [0, 1, 2, 3]
-    assert s0.bbox is not None
+    # bbox is computed on device at close (no host sync); get_bbox
+    # materializes it for direct-collector callers
+    assert s0.get_bbox() is not None
     assert int(np.asarray(s0.surf_mask).sum()) > 100
     # flush closes the trailing partial submap
     tail = coll.flush()

@@ -54,7 +54,10 @@ def test_build_semantic_scan_splits_classes(seq16):
     n_corner = int(np.asarray(ss.corner_mask).sum())
     n_surf = int(np.asarray(ss.surf_mask).sum())
     assert n_corner > 20  # poles visible
-    assert n_surf > 2000  # ground + buildings
+    # surf matched cloud is voxel-downsampled at refine_surf_leaf now
+    # (keyframeInit's *DS clouds, subMapOptmizationNode.cpp:807-893), so
+    # the bound is on voxel-uniform coverage, not raw cardinality
+    assert n_surf > 1000  # ground + buildings
     # pole points should be far from ground plane normals: check weights
     w = np.asarray(ss.corner_w)[np.asarray(ss.corner_mask)]
     np.testing.assert_allclose(w, 0.5, atol=1e-5)  # w = 2 - 1.5 for pole
