@@ -192,6 +192,10 @@ class KeyframeConfig:
     window_size: int = 20  # last-K keyframe clouds merged as target
     converge_delta_r: float = 0.005
     converge_delta_t: float = 0.05
+    # reference-parity convergence precondition on the gate
+    # (odomEstimationNode.cpp:216-228 requires the solver converged before
+    # a keyframe may be saved); switchable for ablation
+    require_convergence: bool = True
 
 
 @dataclass(frozen=True)

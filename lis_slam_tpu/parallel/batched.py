@@ -27,7 +27,7 @@ def batched_init_state(cfg: SlamConfig, batch: int) -> odometry.OdomState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def batched_odom_step(states, scans, cfg: SlamConfig):
     """vmapped per-scan step over the leading sequence axis.
 
@@ -55,7 +55,8 @@ def make_sharded_step(cfg: SlamConfig, mesh: Mesh):
         )
 
     step = jax.jit(
-        lambda states, scans: batched_odom_step(states, scans, cfg)
+        lambda states, scans: batched_odom_step(states, scans, cfg),
+        donate_argnums=(0,),
     )
     return step, shard, seq_sharding
 

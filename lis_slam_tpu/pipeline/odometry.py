@@ -67,16 +67,18 @@ def init_state(cfg: SlamConfig) -> OdomState:
     K = cfg.keyframe.window_size
     mc = cfg.matching.corner_map_capacity
     ms = cfg.matching.surf_map_capacity
-    zero6 = jnp.zeros(6, jnp.float32)
+    # NOTE: every field gets its OWN buffer (no shared zero6): the step
+    # donates its state argument, and donating the same underlying buffer
+    # through two fields is a runtime error ("donate the same buffer twice")
     return OdomState(
-        pose=zero6,
-        prev_pose=zero6,
+        pose=jnp.zeros(6, jnp.float32),
+        prev_pose=jnp.zeros(6, jnp.float32),
         incr=jnp.eye(4, dtype=jnp.float32),
         frame_idx=jnp.int32(0),
         kf_poses=jnp.zeros((K, 6), jnp.float32),
         kf_count=jnp.int32(0),
         kf_head=jnp.int32(0),
-        last_kf_pose=zero6,
+        last_kf_pose=jnp.zeros(6, jnp.float32),
         map_corner=jnp.zeros((mc, 3), jnp.float32),
         map_corner_age=jnp.full((mc,), -(10**9), jnp.int32),
         map_corner_mask=jnp.zeros(mc, bool),
@@ -203,6 +205,8 @@ def _keyframe_gate(pose: jnp.ndarray, last_kf_pose: jnp.ndarray,
         (gn.delta_r < cfg.matching.converge_delta_r_deg)
         | (gn.delta_t < cfg.matching.converge_delta_t_cm)
     )
+    if not cfg.keyframe.require_convergence:
+        conv = jnp.bool_(True)
     return conv & ((kf_count <= 5) | motion)
 
 
@@ -362,17 +366,34 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
     return state, out, fc, ext
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("state",))
 def odom_step(state: OdomState, scan: ScanInput,
               cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
-    """Single-sequence per-scan step (keyframe insert under lax.cond)."""
+    """Single-sequence per-scan step (keyframe insert under lax.cond).
+
+    `state` is DONATED: the multi-MB sliding-map buffers are updated in
+    place instead of copied every scan. Callers must thread the returned
+    state (`state, out = odom_step(state, ...)`) and never reuse the old
+    one; use `odom_step_nodonate` for replay-from-a-saved-state patterns."""
     state, out, _fc, _ext = _odom_step_impl(state, scan, cfg, uniform=False)
     return state, out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def odom_step_nodonate(state: OdomState, scan: ScanInput,
+                       cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
+    """odom_step without input donation (state stays valid after the call —
+    for harnesses that re-run a step from the same state)."""
+    state, out, _fc, _ext = _odom_step_impl(state, scan, cfg, uniform=False)
+    return state, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("state",))
 def odom_step_uniform(state: OdomState, scan: ScanInput,
                       cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
-    """Cond-free per-scan step for vmapped multi-sequence replay."""
+    """Cond-free per-scan step for vmapped multi-sequence replay (state
+    donated, see odom_step)."""
     state, out, _fc, _ext = _odom_step_impl(state, scan, cfg, uniform=True)
     return state, out

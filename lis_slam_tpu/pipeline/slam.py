@@ -92,7 +92,8 @@ class StepOut(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "lab_mode", "model", "infer_cfg"))
+    jax.jit, static_argnames=("cfg", "lab_mode", "model", "infer_cfg"),
+    donate_argnames=("fstate",))
 def slam_step(fstate: FusedState, scan: odometry.ScanInput,
               lab_raw: jnp.ndarray, model_vars, cfg: SlamConfig,
               lab_mode: str, model=None, infer_cfg=None):

@@ -70,16 +70,17 @@ def main():
         ate = trajectory.ate_rmse(poses, gt_rel, align=False)
         print(f"{name:34s} {sps:7.2f} scans/s  ATE {ate:.4f} m")
 
-    run(base, "sharp (production)")
+    nogate = dataclasses.replace(base.keyframe, require_convergence=False)
+    run(base, "sharp gate-parity")
+    run(base.replace(keyframe=nogate), "sharp motion-only gate")
     acc = base.replace(matching=dataclasses.replace(
         base.matching, match_source="full_ds"))
-    run(acc, "full_ds corner+surf")
+    run(acc, "full_ds gate-parity")
+    run(acc.replace(keyframe=nogate), "full_ds motion-only gate")
     hyb = base.replace(matching=dataclasses.replace(
         base.matching, match_source="hybrid"))
-    try:
-        run(hyb, "hybrid sharp-corner + full_ds surf")
-    except Exception as e:
-        print("hybrid: not implemented:", type(e).__name__, str(e)[:100])
+    run(hyb, "hybrid gate-parity")
+    run(hyb.replace(keyframe=nogate), "hybrid motion-only gate")
 
 
 if __name__ == "__main__":

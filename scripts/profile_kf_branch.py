@@ -62,7 +62,7 @@ def main():
 
     # front-end step (for scale)
     state = odometry.init_state(cfg)
-    step = functools.partial(odometry.odom_step, cfg=cfg)
+    step = functools.partial(odometry.odom_step_nodonate, cfg=cfg)
     for s in scans[:4]:
         p, l, v = prep(*s)
         state, _ = step(state, odometry.ScanInput(points=p, valid=v, **zero_imu))

@@ -107,7 +107,7 @@ def main():
     state = odometry.init_state(cfg)
     fcs = [preprocess(s) for s in padded]
     for s in padded:
-        state, out = odometry.odom_step(state, s, cfg)
+        state, out = odometry.odom_step_nodonate(state, s, cfg)
     jax.block_until_ready(state)
 
     # ---- stage: scan-to-map GN on the converged map ----
@@ -151,11 +151,11 @@ def main():
     sts = [state]
     outs_args = []
     for s in padded:
-        st2, _ = odometry.odom_step(sts[-1], s, cfg)
+        st2, _ = odometry.odom_step_nodonate(sts[-1], s, cfg)
         sts.append(st2)
         outs_args.append((st2, s))
     jax.block_until_ready(sts[-1].pose)
-    ms = timeit(lambda st, s: odometry.odom_step(st, s, cfg), outs_args, n=16)
+    ms = timeit(lambda st, s: odometry.odom_step_nodonate(st, s, cfg), outs_args, n=16)
     print(f"full odom_step        : {ms:7.2f} ms -> {1000.0/ms:6.1f} scans/s")
 
 
