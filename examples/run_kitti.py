@@ -17,6 +17,16 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# --cpu must take effect BEFORE importing the pipeline: package import
+# builds device constants, which initializes the default (axon TPU)
+# backend; jax.config.update("jax_platforms") only applies to the first
+# device use. (The JAX_PLATFORMS env var is ignored — the axon plugin
+# wins — so jax.config is the only switch.)
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from lis_slam_tpu.config import PRESETS
@@ -35,13 +45,21 @@ def main():
     ap.add_argument("--max-scans", type=int, default=0)
     ap.add_argument("--save-map", default="")
     ap.add_argument("--match-source", default="sharp",
-                    choices=("sharp", "full_ds"),
-                    help="matched clouds: sharp features (fast) or "
-                         "voxel-DS of the full clouds (reference-faithful, "
-                         "~2.5x lower ATE at ~60%% of the throughput)")
+                    choices=("sharp", "full_ds", "hybrid"),
+                    help="matched clouds: sharp features (production "
+                         "default — with the first-anchored voxel map it "
+                         "is both the fastest AND the most accurate mode, "
+                         "docs/PERF.md round 3), full_ds (reference-"
+                         "faithful currentCloudInit: voxel-DS of the full "
+                         "clouds), or hybrid (sharp corners + voxel-"
+                         "uniform full surf)")
     ap.add_argument("--debug-dir", default="",
                     help="dump descriptor images / loop markers / stage "
                          "clouds (the reference's rviz debug surface)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin wins "
+                         "over JAX_PLATFORMS; handled before imports at "
+                         "the top of this file)")
     args = ap.parse_args()
 
     cfg = PRESETS[args.preset]()

@@ -144,9 +144,10 @@ class MatchingConfig:
     uniform_iters: int = 8
     uniform_refresh: tuple = (2, 5)
     # matched-cloud source: "sharp" (production: the extracted sharp
-    # feature clouds) or "full_ds" (reference-faithful: voxel-DS of the
+    # feature clouds), "full_ds" (reference-faithful: voxel-DS of the
     # FULL corner/surf clouds — currentCloudInit, odomEstimationNode.cpp:
-    # 260-281 downsamples the full clouds, NOT the sharp subsets)
+    # 260-281 downsamples the full clouds, NOT the sharp subsets), or
+    # "hybrid" (sharp corners + voxel-uniform full surf)
     match_source: str = "sharp"
     matched_corner_capacity: int = 4096
     matched_surf_capacity: int = 4096
@@ -180,6 +181,13 @@ class VoxelConfig:
     submap_corner_leaf: float = 0.2
     submap_surf_leaf: float = 0.4
     submap_leaf: float = 0.5
+    # what a re-observed map voxel keeps (ops/voxel.voxel_merge_aged):
+    # "first" anchors the first observation's position (KISS-ICP/VDB rule;
+    # measured sharp ATE 0.144 -> 0.027 on the clean HDL-64 circuit);
+    # "newest" refreshes the position on re-observation (closer to the
+    # reference's rebuild-from-keyframe-clouds, wins when scans carry
+    # residual distortion — see the velocity front-end test)
+    map_anchor: str = "first"
 
 
 @dataclass(frozen=True)
@@ -196,6 +204,14 @@ class KeyframeConfig:
     # (odomEstimationNode.cpp:216-228 requires the solver converged before
     # a keyframe may be saved); switchable for ablation
     require_convergence: bool = True
+    # unconditional keyframes while kf_count <= bootstrap_frames. The
+    # reference uses 5 (odomEstimationNode.cpp:219 `keyFrameId <= 5`) to
+    # densify its rebuilt-from-scratch local map quickly; our incremental
+    # first-observation-anchored voxel map does not need the bootstrap, and
+    # inserting keyframes before the solver has a dense target measurably
+    # hurts (12-scan circuit: sharp ATE 0.038 -> 0.027, full_ds
+    # 0.060 -> 0.041 going 5 -> 0). Set 5 for exact reference behavior.
+    bootstrap_frames: int = 0
 
 
 @dataclass(frozen=True)

@@ -124,10 +124,15 @@ def voxel_downsample(
         out_mask = cnts[:capacity] > 0
         n_vox = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
         return out, out_mask, n_vox
-    # payload rides INSIDE both sorting networks (multi-operand lax.sort):
+    # payload rides INSIDE the sorting network (multi-operand lax.sort):
     # argsort + random gathers cost 3-6 ms per 100k rows on this TPU (same
     # optimization as voxel_merge_aged). The iota second key keeps the
-    # first-in-input-order point per voxel (stability).
+    # first-in-input-order point per voxel (stability). Compaction to the
+    # front is rank arithmetic + ONE unique-monotonic-index scatter instead
+    # of a second sort (the same rewrite that won in ops/projection.py:
+    # dest is non-decreasing over sorted positions, so the scatter is a
+    # cheap streaming write, not random access) — this is the hot op of the
+    # full_ds/hybrid accuracy matching mode (65k surf cloud per scan).
     iota = jnp.arange(n, dtype=jnp.int32)
     s = jax.lax.sort(
         (h, iota, points[:, 0], points[:, 1], points[:, 2]) + tuple(payloads),
@@ -135,21 +140,16 @@ def voxel_downsample(
     hs = s[0]
     is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
     is_new = is_new & (hs != _SENTINEL)
-    rank = jnp.where(is_new, iota, jnp.int32(n) + iota)
-    s2 = jax.lax.sort((rank,) + s[2:], num_keys=1)
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    dest = jnp.where(is_new & (seg < capacity), seg, capacity)
     k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity) < k
-
-    def cap(col):
-        c = col[:capacity]
-        if capacity > n:
-            c = jnp.pad(c, (0, capacity - n))
-        return c
-
-    reps = jnp.stack([cap(s2[1]), cap(s2[2]), cap(s2[3])], 1)
-    out = jnp.where(out_mask[:, None], reps, 0.0)
+    cols = jnp.stack(s[2:], axis=1)  # (n, 3 + n_payloads)
+    buf = jnp.zeros((capacity + 1, cols.shape[1]), cols.dtype)
+    buf = buf.at[dest].set(cols)[:capacity]
+    out = jnp.where(out_mask[:, None], buf[:, :3], 0.0)
     if payloads:
-        out_pay = tuple(jnp.where(out_mask, cap(s2[4 + i]), 0.0)
+        out_pay = tuple(jnp.where(out_mask, buf[:, 3 + i], 0.0)
                         for i in range(len(payloads)))
         return (out, out_mask, k) + out_pay
     return out, out_mask, k
@@ -183,7 +183,7 @@ def voxel_downsample_labeled(
     return out, lab[:capacity], out_mask
 
 
-@functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
+@functools.partial(jax.jit, static_argnames=("leaf", "capacity", "anchor"))
 def voxel_merge_aged(
     new_points: jnp.ndarray,  # (A, 3) current keyframe cloud (world frame)
     new_mask: jnp.ndarray,  # (A,)
@@ -196,21 +196,43 @@ def voxel_merge_aged(
     capacity: int,
     new_flag: jnp.ndarray | None = None,  # (A,) optional bool payload
     map_flag: jnp.ndarray | None = None,  # (C,)
+    anchor: str = "first",  # "first" | "newest" (VoxelConfig.map_anchor)
 ):
-    """Incremental sliding-window map update, one stable sort.
+    """Incremental sliding-window map update, one sort + unique scatters.
 
-    Semantically equivalent to the reference's merge-last-K-keyframes +
+    Window semantics match the reference's merge-last-K-keyframes +
     voxel-downsample rebuild (odomEstimationNode.cpp:185-207): a voxel is in
     the map iff some keyframe in the last `window` observed it. Points carry
     the keyframe index of their last observation; expired points are masked
-    out, the new cloud is concatenated IN FRONT (stable sort keeps the first
-    occurrence per voxel, so re-observed voxels refresh position and age),
-    and one sort-dedup produces the new fixed-capacity buffer.
+    out, the new cloud is concatenated with the map and one sort-dedup
+    produces the new fixed-capacity buffer.
+
+    `anchor` selects what a re-observed voxel keeps (only the age refreshes
+    either way):
+      - "first" (default): the FIRST observation's position is anchored
+        (insert-into-empty-voxel semantics, the standard accelerator
+        voxel-map rule, e.g. KISS-ICP/VDB). Round 2 kept the newest
+        position, which lets a drifting pose estimate smear previously
+        anchored geometry — first-anchoring measured sharp-mode ATE
+        0.144 -> 0.027 and full_ds 0.136 -> 0.041 on the clean 12-scan
+        HDL-64 circuit (docs/PERF.md round 3).
+      - "newest": re-observation replaces the stored position (closer to
+        the reference's per-frame rebuild from keyframe clouds +
+        PCL-voxel centroids, odomEstimationNode.cpp:185-207). Wins when
+        individual observations carry residual error that re-observation
+        should wash out — e.g. the velocity-deskew alternate front-end on
+        heavily motion-distorted scans (tests/test_lio.py), where "first"
+        permanently anchors the distortion of whichever scan saw a voxel
+        first and diverges (ATE 0.25 -> 2.5 on that circuit).
+    Implementation: map points sort after new points (larger row index at
+    equal key) and the map holds <= 1 point per voxel, so within a key run
+    the LAST element is the anchored map point when one exists ("first")
+    and the FIRST element is the newest observation ("newest" + age).
 
     With `new_flag`/`map_flag`, a per-point boolean payload rides the same
-    sorting networks (e.g. the dynamic-class flag of the semantic local map
-    — folding the reference's separate dynamic-class cloud into the surf
-    map buffer saves a whole second merge per keyframe).
+    sorting network and follows its POINT (e.g. the dynamic-class flag of
+    the semantic local map — folding the reference's separate dynamic-class
+    cloud into the surf map buffer saves a whole second merge per keyframe).
 
     Returns (points (C,3), age (C,), mask (C,)[, flag (C,)]).
     """
@@ -239,21 +261,32 @@ def voxel_merge_aged(
         cols = cols + (flag,)
     s = jax.lax.sort(cols, num_keys=2)
     hs = s[0]
-    is_new = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
-    is_new = is_new & (hs != _SENTINEL)
-    rank = jnp.where(is_new, jnp.arange(n, dtype=jnp.int32),
-                     jnp.int32(n) + jnp.arange(n, dtype=jnp.int32))
-    s2 = jax.lax.sort((rank,) + s[2:], num_keys=1)
-    k = jnp.minimum(jnp.sum(is_new.astype(jnp.int32)), capacity)
+    diff_prev = jnp.concatenate([jnp.ones(1, bool), hs[1:] != hs[:-1]])
+    diff_next = jnp.concatenate([hs[1:] != hs[:-1], jnp.ones(1, bool)])
+    valid = hs != _SENTINEL
+    is_first = diff_prev & valid  # run start: newest observation (age)
+    is_last = diff_next & valid  # run end: anchored position (+ its flag)
+    # compaction via TWO unique-monotonic-index scatters instead of a
+    # second full sort (same rewrite as ops/projection.py / the downsample
+    # above): dest is non-decreasing over sorted positions
+    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    if anchor not in ("first", "newest"):
+        raise ValueError(f"anchor must be 'first'|'newest', got {anchor!r}")
+    is_anchor = is_last if anchor == "first" else is_first
+    dest_pos = jnp.where(is_anchor & (seg < capacity), seg, capacity)
+    dest_age = jnp.where(is_first & (seg < capacity), seg, capacity)
+    k = jnp.minimum(jnp.sum(is_first.astype(jnp.int32)), capacity)
     out_mask = jnp.arange(capacity) < k
-    out_pts = jnp.where(
-        out_mask[:, None],
-        jnp.stack([s2[1][:capacity], s2[2][:capacity], s2[3][:capacity]], 1),
-        0.0,
-    )
-    out_age = jnp.where(out_mask, s2[4][:capacity], -(10**9))
+    rows = jnp.stack(  # cols layout: (h, iota, x, y, z, age[, flag])
+        s[2:5] + ((s[6].astype(s[2].dtype),) if with_flag else ()), axis=1)
+    buf = jnp.zeros((capacity + 1, rows.shape[1]), rows.dtype)
+    buf = buf.at[dest_pos].set(rows)[:capacity]
+    out_pts = jnp.where(out_mask[:, None], buf[:, :3], 0.0)
+    out_age = jnp.zeros((capacity + 1,), jnp.int32).at[dest_age].set(
+        s[5])[:capacity]
+    out_age = jnp.where(out_mask, out_age, -(10**9))
     if with_flag:
-        return out_pts, out_age, out_mask, (s2[5][:capacity] > 0) & out_mask
+        return out_pts, out_age, out_mask, (buf[:, 3] > 0) & out_mask
     return out_pts, out_age, out_mask
 
 

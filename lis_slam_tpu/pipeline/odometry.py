@@ -168,13 +168,13 @@ def _insert_keyframe(state: OdomState, fc: feat_ops.FeatureClouds,
         corner_w, fc.corner_mask,
         state.map_corner, state.map_corner_age, state.map_corner_mask,
         state.kf_count, K, cfg.voxel.mapping_corner_leaf,
-        cfg.matching.corner_map_capacity,
+        cfg.matching.corner_map_capacity, anchor=cfg.voxel.map_anchor,
     )
     map_s, age_s, mask_s = voxel.voxel_merge_aged(
         surf_w, fc.surf_mask,
         state.map_surf, state.map_surf_age, state.map_surf_mask,
         state.kf_count, K, cfg.voxel.mapping_surf_leaf,
-        cfg.matching.surf_map_capacity,
+        cfg.matching.surf_map_capacity, anchor=cfg.voxel.map_anchor,
     )
     return state._replace(
         kf_poses=kf_poses,
@@ -207,7 +207,11 @@ def _keyframe_gate(pose: jnp.ndarray, last_kf_pose: jnp.ndarray,
     )
     if not cfg.keyframe.require_convergence:
         conv = jnp.bool_(True)
-    return conv & ((kf_count <= 5) | motion)
+    # bootstrap_frames=5 reproduces the reference's `keyFrameId <= 5`
+    # unconditional early keyframes; the default 0 keyframes only the very
+    # first frame (see KeyframeConfig.bootstrap_frames for the measured
+    # rationale)
+    return conv & ((kf_count <= cfg.keyframe.bootstrap_frames) | motion)
 
 
 def _insert_keyframe_masked(state: OdomState, fc: feat_ops.FeatureClouds,

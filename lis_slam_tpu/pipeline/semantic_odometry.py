@@ -300,6 +300,7 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
         c_w, sscan.corner_mask, state.corner_pts, state.corner_age,
         state.corner_mask, state.kf_count, K,
         cfg.voxel.submap_corner_leaf, state.corner_pts.shape[0],
+        anchor=cfg.voxel.map_anchor,
     )
     # dynamic-class flag rides the surf merge's sorting network — the
     # separate dynamic map buffer of round 2 duplicated these points and
@@ -309,7 +310,7 @@ def refine_step(state: SemanticOdomState, sscan: SemanticScan,
         state.surf_mask, state.kf_count, K,
         cfg.voxel.submap_surf_leaf, state.surf_pts.shape[0],
         new_flag=sscan.surf_is_dynamic & dyn_keep,
-        map_flag=state.surf_dyn,
+        map_flag=state.surf_dyn, anchor=cfg.voxel.map_anchor,
     )
     # NOTE: per-point weights for map points default to 1.0 — the reference
     # weights only the CURRENT scan's points, which sscan.*_w covers.

@@ -131,7 +131,13 @@ def test_data_pretreat_velocity_frontend():
             cfg = tiny_cfg()
             cfg = cfg.replace(
                 imu=dataclasses.replace(
-                    ImuConfig(), use_imu=False, deskew_mode=mode))
+                    ImuConfig(), use_imu=False, deskew_mode=mode),
+                # scans here carry residual motion distortion even after
+                # velocity deskew: refresh-on-reobservation map anchoring
+                # is required (first-anchoring locks in whichever scan's
+                # distortion saw a voxel first; see VoxelConfig.map_anchor)
+                voxel=dataclasses.replace(
+                    cfg.voxel, map_anchor="newest"))
             state = odometry.init_state(cfg)
             poses = []
             for i, s in enumerate(scans):

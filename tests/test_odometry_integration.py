@@ -113,8 +113,14 @@ def test_greedy_and_vectorized_features_track_alike():
 @pytest.mark.slow
 def test_full_ds_matching_mode(small_cfg):
     """match_source="full_ds" (reference currentCloudInit semantics:
-    voxel-uniform DS of the FULL clouds): must track at least as well as
-    the sharp-feature production mode on the same sequence."""
+    voxel-uniform DS of the FULL clouds) is the reference-parity matching
+    mode; both it and the sharp-feature production mode must track the GT
+    tightly. Round 2's gap (sharp 0.154 vs full_ds 0.043 on the 60-scan
+    bench) motivated full_ds; the round-3 first-observation-anchored voxel
+    map (VoxelConfig.map_anchor) closed it from the OTHER side — sharp is
+    now the more accurate of the two (0.028 vs 0.041 here), so the
+    production default is fast AND accurate and full_ds only needs an
+    absolute bound."""
     import dataclasses
 
     n = 12
@@ -133,6 +139,6 @@ def test_full_ds_matching_mode(small_cfg):
         driver.replay_odometry(scans, cfg_fd).poses, gt_rel, align=False)
     ate_sharp = trajectory.ate_rmse(
         driver.replay_odometry(scans, small_cfg).poses, gt_rel, align=False)
-    assert ate_fd < ate_sharp * 1.05 + 0.01, (
-        f"full_ds {ate_fd:.3f} vs sharp {ate_sharp:.3f}")
-    assert ate_fd < 0.2
+    # ~25 m travelled: both modes must stay within 6 cm absolute
+    assert ate_fd < 0.06, f"full_ds {ate_fd:.3f}"
+    assert ate_sharp < 0.06, f"sharp {ate_sharp:.3f}"

@@ -78,8 +78,15 @@ def test_batched_replay_matches_single(tmp_path):
         # vs the unbatched uniform step (same program): vmap/sharding only
         # change f32 reduction order, so sub-cm agreement through the solver
         np.testing.assert_allclose(poses[0], single_u, atol=5e-3)
-        # and the cond-free solver tracks the drift-refresh solver closely
-        np.testing.assert_allclose(poses[0], single, atol=2e-2)
+        # and the cond-free solver tracks the drift-refresh solver. The
+        # bound is loose by design: the variants refresh their neighbor
+        # caches at different times, and with first-observation-anchored
+        # maps (VoxelConfig.map_anchor="first") a small early difference in
+        # WHICH point a voxel anchors persists instead of washing out —
+        # measured max 8 cm on this 16-beam tiny circuit (was <2 cm with
+        # "newest" anchoring). Same-program agreement (batched vs single
+        # uniform, sharded vs host) stays at 5e-3 above.
+        np.testing.assert_allclose(poses[0], single, atol=1.5e-1)
         # unsharded agreement: GSPMD partitioning changes fusion/reduction
         # order, so expect float32-level drift through the solver, not
         # bit-equality

@@ -121,9 +121,18 @@ def test_keyframe_gate_requires_convergence():
     # converged but no motion -> no keyframe (past the first 5)
     assert not bool(odometry._keyframe_gate(
         last, last, many, _gn(1e-4, 1e-3), cfg))
-    # first frames: keyframe without motion
+    # reference parity (bootstrap_frames=5, odomEstimationNode.cpp:219):
+    # first frames keyframe without motion
+    import dataclasses as _dc
+    cfg_boot = cfg.replace(
+        keyframe=_dc.replace(cfg.keyframe, bootstrap_frames=5))
     assert bool(odometry._keyframe_gate(
+        last, last, jnp.int32(2), _gn(1e-4, 1e-3), cfg_boot))
+    # default (bootstrap_frames=0): only the very first frame is free
+    assert not bool(odometry._keyframe_gate(
         last, last, jnp.int32(2), _gn(1e-4, 1e-3), cfg))
+    assert bool(odometry._keyframe_gate(
+        last, last, jnp.int32(0), _gn(1e-4, 1e-3), cfg))
     # per-axis gate: |y| displacement alone suffices
     pose_y = jnp.asarray([0, 0, 0, 0, 5.0, 0], jnp.float32)
     assert bool(odometry._keyframe_gate(

@@ -116,6 +116,29 @@ def test_voxel_merge_aged_flag_rides_sort():
     assert got == {(0, 0, 0): True, (5, 0, 0): False, (0, 5, 0): True}
 
 
+def test_voxel_merge_aged_anchor_semantics():
+    """Re-observing a voxel: "first" keeps the anchored map position and
+    refreshes only the age; "newest" replaces the position. The flag
+    payload follows the anchored point in both modes."""
+    C = 16
+    map_pts = jnp.zeros((C, 3)).at[0].set(jnp.asarray([1.0, 0.0, 0.0]))
+    map_age = jnp.full((C,), -(10**9), jnp.int32).at[0].set(3)
+    map_mask = jnp.zeros(C, bool).at[0].set(True)
+    # new observation of the SAME voxel (leaf 2.0), offset position
+    new_pts = jnp.asarray([[1.3, 0.2, 0.0]])
+    for anchor, want_x, want_flag in (("first", 1.0, False),
+                                      ("newest", 1.3, True)):
+        pts, age, mask, flag = voxel.voxel_merge_aged(
+            new_pts, jnp.ones(1, bool), map_pts, map_age, map_mask,
+            jnp.int32(7), 10, 2.0, C, anchor=anchor,
+            new_flag=jnp.ones(1, bool), map_flag=jnp.zeros(C, bool))
+        i = int(np.nonzero(np.asarray(mask))[0][0])
+        assert int(np.sum(np.asarray(mask))) == 1
+        assert abs(float(pts[i, 0]) - want_x) < 1e-6, anchor
+        assert int(age[i]) == 7, f"{anchor}: age must refresh"
+        assert bool(flag[i]) == want_flag, anchor
+
+
 def _mk_kf(i, x, rng):
     pose = np.eye(4)
     pose[0, 3] = x
