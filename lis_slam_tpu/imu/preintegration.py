@@ -186,6 +186,19 @@ def imu_to_lidar(gyro: jnp.ndarray, accel: jnp.ndarray, cfg: ImuConfig):
     return gyro @ R.T, accel @ R.T
 
 
+def gps_vel_to_lidar(linear, angular, cfg: ImuConfig):
+    """Rotate a GPS velocity twist into the lidar frame (gpsVelConverter,
+    utility.h:519-540: linear AND angular velocity left-multiplied by
+    extRot). Numpy in/out — this runs at the GPS message rate on the host,
+    feeding the dataPretreat velocity front-end (dataPretreatNode.cpp:
+    91-109, useGPSVel=true)."""
+    import numpy as np
+
+    R = np.asarray(cfg.extrinsic_rot, np.float64)
+    return (R @ np.asarray(linear, np.float64),
+            R @ np.asarray(angular, np.float64))
+
+
 def remap_imu_orientation(rpy, cfg: ImuConfig):
     """imuConverter's orientation remap (utility.h:500-508): the absolute
     IMU orientation is POST-multiplied by the extrinsicRPY quaternion

@@ -73,6 +73,46 @@ def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
     )
 
 
+class VelocityStream:
+    """Host-side ego-velocity buffer for the dataPretreat velocity
+    front-end — the rebuild of dataPretreatNode's vel queue + the
+    `VelocityData::SyncData` linear interpolation (distortionAdjust.cpp:
+    4-98). Feed it GPS velocity twists (already rotated into the lidar
+    frame via `imu.preintegration.gps_vel_to_lidar`, the gpsVelConverter
+    equivalent) or fusion-odometry twists (useGPSVel=false path,
+    dataPretreatNode.cpp:111-134); `at(t)` returns the interpolated
+    (linear, angular) pair to pass to `pad_scan(velocity=...,
+    angular_rate=...)`."""
+
+    def __init__(self, max_len: int = 4096):
+        self._t: list[float] = []
+        self._lin: list[np.ndarray] = []
+        self._ang: list[np.ndarray] = []
+        self._max = max_len
+
+    def push(self, t: float, linear, angular) -> None:
+        self._t.append(float(t))
+        self._lin.append(np.asarray(linear, np.float64))
+        self._ang.append(np.asarray(angular, np.float64))
+        if len(self._t) > self._max:  # drop-oldest, reference deque policy
+            del self._t[0], self._lin[0], self._ang[0]
+
+    def at(self, t: float):
+        """Interpolated (linear (3,), angular (3,)) at time t, or None if
+        the stream does not bracket t (SyncData returns false — the
+        reference then skips velocity compensation for that scan)."""
+        if len(self._t) < 2 or not (self._t[0] <= t <= self._t[-1]):
+            return None
+        hi = int(np.searchsorted(np.asarray(self._t), t, side="right"))
+        hi = min(max(hi, 1), len(self._t) - 1)
+        lo = hi - 1
+        denom = self._t[hi] - self._t[lo]
+        w = (t - self._t[lo]) / denom if denom > 1e-9 else 0.0
+        lin = self._lin[lo] + w * (self._lin[hi] - self._lin[lo])
+        ang = self._ang[lo] + w * (self._ang[hi] - self._ang[lo])
+        return lin, ang
+
+
 def replay_odometry(scans, cfg: SlamConfig, warmup: int = 0,
                     donate: bool = True) -> ReplayResult:
     """Run the front-end odometry over an iterable of host scans.

@@ -42,6 +42,41 @@ def test_sync_to_time():
     np.testing.assert_allclose(np.asarray(out), [5.0], atol=1e-5)
 
 
+def test_gps_vel_converter_and_stream():
+    """gpsVelConverter parity (utility.h:519-540): GPS velocity twists
+    rotate into the lidar frame by extRot (linear AND angular), then the
+    host VelocityStream interpolates to scan time (VelocityData::SyncData,
+    dataPretreatNode.cpp:91-109)."""
+    import dataclasses
+
+    from lis_slam_tpu.config import ImuConfig
+    from lis_slam_tpu.imu import preintegration as pre
+    from lis_slam_tpu.pipeline import driver
+
+    # extRot: 90 deg about z — x_gps maps to y_lidar
+    Rz = ((0.0, -1.0, 0.0), (1.0, 0.0, 0.0), (0.0, 0.0, 1.0))
+    cfg = dataclasses.replace(ImuConfig(), extrinsic_rot=Rz)
+    lin, ang = pre.gps_vel_to_lidar([1.0, 0.0, 0.0], [0.0, 2.0, 0.0], cfg)
+    np.testing.assert_allclose(lin, [0.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(ang, [-2.0, 0.0, 0.0], atol=1e-12)
+
+    vs = driver.VelocityStream()
+    assert vs.at(0.5) is None  # empty / unbracketed -> SyncData false
+    for k in range(3):
+        l, a = pre.gps_vel_to_lidar([float(k), 0.0, 0.0],
+                                    [0.0, 0.0, float(2 * k)], cfg)
+        vs.push(k * 1.0, l, a)
+    assert vs.at(-0.1) is None and vs.at(2.1) is None
+    lin_t, ang_t = vs.at(0.5)
+    np.testing.assert_allclose(lin_t, [0.0, 0.5, 0.0], atol=1e-12)
+    np.testing.assert_allclose(ang_t, [0.0, 0.0, 1.0], atol=1e-12)
+    # feeds pad_scan's velocity front-end fields
+    sin = driver.pad_scan(np.zeros((4, 4), np.float32), tiny_cfg(),
+                          velocity=lin_t, angular_rate=ang_t)
+    assert bool(sin.vel_valid)
+    np.testing.assert_allclose(np.asarray(sin.vel), lin_t, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_lio_tracks_with_distorted_scans():
     """Motion-distorted 16-beam scans + IMU gyro: the LIO driver (deskew +
