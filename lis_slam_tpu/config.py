@@ -299,6 +299,13 @@ class GraphConfig:
     damping: float = 1e-6
     gps_cov_threshold: float = 2.0
     pose_cov_threshold: float = 25.0
+    # inner linear solver: "dense" (exact (6N)^3 factorization, best at
+    # reference scale), "cg" (matrix-free block-Jacobi PCG, O(E) per
+    # sweep — the city-scale path), or "auto" (dense up to
+    # dense_max_nodes padded nodes, then cg)
+    solver: str = "auto"
+    dense_max_nodes: int = 256
+    cg_iters: int = 96
 
 
 @dataclass(frozen=True)

@@ -7,7 +7,10 @@ TPU-native replacement for the reference's GTSAM/iSAM2 back-end
 full graph over submap nodes is (re-)solved by damped Gauss-Newton with
 dense normal equations — at reference scale (<= ~256 submaps on KITTI 00,
 so H is <= 1536 x 1536) one dense solve per update is cheap on TPU and
-exactly minimizes the same factor objective.
+exactly minimizes the same factor objective. Past that scale,
+`optimize_cg` solves the SAME objective matrix-free (block-Jacobi
+preconditioned CG over the sparse block Hessian, O(E) per sweep);
+GraphConfig.solver="auto" switches between them by padded node count.
 
 Parametrization: nodes as 4x4 matrices, right-perturbation
 X <- X exp(delta); between-factor residual r = log(Z^-1 X_i^-1 X_j) with the
@@ -168,6 +171,94 @@ def optimize(graph: PoseGraph, damping: float = 1e-6,
     return graph._replace(nodes=nodes)
 
 
+@functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))
+def optimize_cg(graph: PoseGraph, damping: float = 1e-6,
+                iterations: int = 20, cg_iters: int = 96) -> PoseGraph:
+    """Matrix-free LM: the same factor objective and accept/reject outer
+    loop as `optimize`, but each normal-equation solve is block-Jacobi-
+    preconditioned conjugate gradients over the SPARSE Hessian — H is never
+    materialized. Per LM sweep the cost is O(E) 6x6-block matvecs
+    (gather + einsum + segment scatter-add, all TPU-friendly) instead of
+    the dense (6N)^3 factorization, so the graph can grow past the ~256
+    submaps where the dense path is economical (city-scale runs; the
+    reference leans on iSAM2's incremental smoothing for the same reason,
+    subMapOptmizationNode.cpp:4084-4185). Inexact inner solves are safe:
+    a rejected step raises lambda, which both re-centers the trust region
+    and improves CG's conditioning (block-Jacobi absorbs the lam*diag
+    term exactly)."""
+    from ..utils import lin
+
+    n = graph.nodes.shape[0]
+    ii, jj, pi = graph.edge_i, graph.edge_j, graph.prior_idx
+
+    def body(_, carry):
+        nodes, lam, cost = carry
+        r_e, Ji, Jj, r_p, Jp = _masked_residuals(graph, nodes)
+        Hii = jnp.einsum("eki,ekj->eij", Ji, Ji)
+        Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj)
+        Hij = jnp.einsum("eki,ekj->eij", Ji, Jj)
+        Hpp = jnp.einsum("eki,ekj->eij", Jp, Jp)
+        b = jnp.zeros((n, 6))
+        b = b.at[ii].add(jnp.einsum("eki,ek->ei", Ji, r_e))
+        b = b.at[jj].add(jnp.einsum("eki,ek->ei", Jj, r_e))
+        b = b.at[pi].add(jnp.einsum("eki,ek->ei", Jp, r_p))
+        # diagonal blocks (for the preconditioner) + the same damping /
+        # gauge-fix diagonal the dense path adds
+        D = jnp.zeros((n, 6, 6)).at[ii].add(Hii).at[jj].add(Hjj)
+        D = D.at[pi].add(Hpp)
+        diag_vec = jnp.diagonal(D, axis1=1, axis2=2)
+        active = graph.node_mask.astype(nodes.dtype)[:, None]
+        dvec = (damping + lam * (diag_vec + 1.0)
+                + (1.0 - active) * 1e6 + 1e-8)
+        Dd = D + jax.vmap(jnp.diag)(dvec)
+
+        def matvec(x):
+            y = dvec * x
+            xi, xj = x[ii], x[jj]
+            y = y.at[ii].add(jnp.einsum("eij,ej->ei", Hii, xi)
+                             + jnp.einsum("eij,ej->ei", Hij, xj))
+            y = y.at[jj].add(jnp.einsum("eij,ej->ei", Hjj, xj)
+                             + jnp.einsum("eji,ej->ei", Hij, xi))
+            return y.at[pi].add(jnp.einsum("eij,ej->ei", Hpp, x[pi]))
+
+        prec = jax.vmap(lin.solve6_spd)
+
+        # PCG for H delta = -b (x0 = 0)
+        r0 = -b
+        z0 = prec(Dd, r0)
+        rz0 = jnp.sum(r0 * z0)
+
+        def cg_body(_, c):
+            x, r, p, rz = c
+            live = rz > 1e-20  # freeze converged solves (avoid 0/0)
+            Ap = matvec(p)
+            alpha = jnp.where(
+                live, rz / jnp.maximum(jnp.sum(p * Ap), 1e-30), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(Dd, r)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(live, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            return x, r, z + beta * p, rz_new
+
+        delta, _r, _p, _rz = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (jnp.zeros((n, 6)), r0, z0, rz0))
+        delta = delta * graph.node_mask[:, None]
+        cand = nodes @ se3.se3_exp(delta)
+        new_cost = _cost(graph, cand)
+        accept = new_cost < cost
+        nodes = jnp.where(accept, cand, nodes)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return nodes, lam, cost
+
+    nodes, _lam, _cost_f = jax.lax.fori_loop(
+        0, iterations, body,
+        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype),
+         _cost(graph, graph.nodes)))
+    return graph._replace(nodes=nodes)
+
+
 class GraphBuilder:
     """Host-side incremental graph construction (replaces the iSAM2 update
     call pattern: add node + odom factor per submap, loop factors from the
@@ -273,8 +364,17 @@ class GraphBuilder:
         subMapOptmizationThread runs at 1 Hz off the critical path for the
         same reason, subMapOptmizationNode.cpp:3798-3886)."""
         g = self.to_device()
-        out = optimize(g, damping=self.cfg.damping,
-                       iterations=iterations or self.cfg.max_iterations)
+        pn = g.nodes.shape[0]
+        use_cg = self.cfg.solver == "cg" or (
+            self.cfg.solver == "auto" and pn > self.cfg.dense_max_nodes)
+        if use_cg:
+            out = optimize_cg(g, damping=self.cfg.damping,
+                              iterations=iterations or
+                              self.cfg.max_iterations,
+                              cg_iters=self.cfg.cg_iters)
+        else:
+            out = optimize(g, damping=self.cfg.damping,
+                           iterations=iterations or self.cfg.max_iterations)
         return len(self.nodes), out.nodes
 
     def consume_optimized(self, n: int, nodes_np: np.ndarray) -> np.ndarray:

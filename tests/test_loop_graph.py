@@ -252,6 +252,65 @@ def test_pose_graph_corrects_drift():
     np.testing.assert_allclose(rel, z_loop, atol=0.05)
 
 
+def _drifted_square(gb, n_nodes=8, loop=True):
+    """Shared builder: square loop with biased odometry + one exact loop
+    closure; returns (gt, est) pose lists."""
+    gt = []
+    for k in range(n_nodes):
+        yaw = (np.pi / 2) * ((4 * k // n_nodes) % 4)
+        frac = (k % (n_nodes // 4)) / (n_nodes // 4)
+        side = 4 * k // n_nodes
+        t = {0: (10 * frac, 0), 1: (10, 10 * frac),
+             2: (10 - 10 * frac, 10), 3: (0, 10 - 10 * frac)}[side]
+        gt.append(_pose((0, 0, yaw), (t[0], t[1], 0)))
+    bias = np.asarray(se3.se3_exp(jnp.asarray(
+        [0.02, 0.01, 0.0, 0.0, 0.0, 0.002], dtype=jnp.float32)))
+    est = [gt[0]]
+    gb.add_node(gt[0])
+    for k in range(1, n_nodes):
+        z = (np.linalg.inv(gt[k - 1]) @ gt[k]) @ bias
+        est.append(est[-1] @ z)
+        gb.add_node(est[-1])
+        gb.add_odom_edge(k - 1, k, z)
+    if loop:
+        gb.add_loop_edge(n_nodes - 1, 0,
+                         np.linalg.inv(gt[-1]) @ gt[0], scale=100.0)
+    return gt, est
+
+
+def test_pose_graph_cg_matches_dense():
+    """The matrix-free PCG solver (optimize_cg) must land on the same
+    optimum as the dense solve on a drifted loop with a GPS prior."""
+    import dataclasses
+
+    base = GraphConfig()
+    opts = {}
+    for name, cfg in (("dense", dataclasses.replace(base, solver="dense")),
+                      ("cg", dataclasses.replace(base, solver="cg"))):
+        gb = pose_graph.GraphBuilder(cfg, max_nodes=32, max_edges=64,
+                                     max_priors=8)
+        gt, _ = _drifted_square(gb, n_nodes=16)
+        gb.add_gps_prior(8, gt[8], np.full(3, 0.01))
+        opts[name] = gb.optimize()
+    np.testing.assert_allclose(opts["cg"], opts["dense"], atol=5e-3)
+
+
+@pytest.mark.slow
+def test_pose_graph_cg_scales_past_dense_limit():
+    """512 nodes (past GraphConfig.dense_max_nodes, so "auto" routes to
+    the CG path): the loop closure must still pull the drifted end node
+    back, without ever materializing the 3072x3072 dense Hessian."""
+    cfg = GraphConfig()  # solver="auto"
+    gb = pose_graph.GraphBuilder(cfg, max_nodes=512, max_edges=1024,
+                                 max_priors=8)
+    gt, est = _drifted_square(gb, n_nodes=512)
+    before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+    opt = gb.optimize()
+    after = np.linalg.norm(opt[-1][:3, 3] - gt[-1][:3, 3])
+    assert after < before * 0.5, (before, after)
+    np.testing.assert_allclose(opt[0], gt[0], atol=1e-3)  # anchored
+
+
 def test_pose_graph_noop_when_consistent():
     cfg = GraphConfig()
     gb = pose_graph.GraphBuilder(cfg, max_nodes=8, max_edges=16, max_priors=4)
