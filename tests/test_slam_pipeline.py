@@ -119,6 +119,45 @@ def test_full_slam_pipeline(sequence):
 
 
 @pytest.mark.slow
+def test_multilap_soak_bounded_state(sequence):
+    """Long-sequence soak (SURVEY aux row "long-sequence windowing"): two
+    laps of the circuit (200 scans; the 100-scan circle closes, so lap 2
+    replays the same ground-truth poses). Error must stay flat across laps
+    (the aged-voxel window + loop closures prevent unbounded drift), all
+    fixed-capacity structures must respect their caps, and deferred-work
+    queues must drain."""
+    scans, gt = sequence
+    cfg = tiny_cfg()
+    system = slam.SemanticSlam(cfg)
+    n = len(scans)
+    laps = 2
+    for lap in range(laps):
+        for i, s in enumerate(scans):
+            sin = driver.pad_scan(s.points[s.valid], cfg)
+            system.process_scan(sin, gt_labels=s.labels[s.valid],
+                                timestamp=(lap * n + i) * 0.1)
+    res = system.finish()
+
+    # the gt circuit is periodic (100 scans ~ one lap), so tile it
+    gt_rel = trajectory.relative_to_first(gt[:n])
+    gt_tiled = np.tile(gt_rel, (laps, 1))
+    per_lap = [
+        trajectory.ate_rmse(res.poses[k * n:(k + 1) * n],
+                            gt_tiled[k * n:(k + 1) * n], align=False)
+        for k in range(laps)
+    ]
+    assert per_lap[-1] < 1.0, f"lap ATEs {per_lap}"
+    # flat across laps: the last lap must not be much worse than the first
+    assert per_lap[-1] < per_lap[0] + 0.5, f"drift grows per lap: {per_lap}"
+    # capacity respect: submaps and loop DB within their configured caps
+    assert res.n_submaps <= cfg.submap.max_submaps
+    assert len(system.loop_detector.poses) <= 4096
+    # deferred queues drained by finish()
+    assert not system._gps_queue
+    assert res.poses.shape == (laps * n, 6)
+
+
+@pytest.mark.slow
 def test_trajectory_export(sequence, tmp_path):
     scans, gt = sequence
     cfg = tiny_cfg()
