@@ -333,10 +333,16 @@ class LoopDetector:
 
     def __init__(self, cfg: LoopClosureConfig):
         self.cfg = cfg
-        self.descs: list[jnp.ndarray] = []  # selected (R, S) per keyframe
-        self.sigs: list[jnp.ndarray] = []  # (360, 4) per keyframe
+        # entries beyond cfg.max_keyframes store None: pose/travel stay (the
+        # gate arithmetic needs the full travel chain) but the device-array
+        # payloads are capped — early keyframes keep their descriptors, so
+        # revisits of the oldest places (the common loop-closure case)
+        # remain detectable while device memory stays bounded
+        self.descs: list[jnp.ndarray | None] = []  # selected (R, S) per kf
+        self.sigs: list[jnp.ndarray | None] = []  # (360, 4) per keyframe
         self.poses: list[np.ndarray] = []  # (x, y, yaw)
         self.travel: list[float] = []
+        self._n_stored = 0
 
     # ------------------------------------------------------------------
     def gate(self, pose_xyyaw: np.ndarray) -> np.ndarray:
@@ -358,6 +364,10 @@ class LoopDetector:
         ok_gate = (delta_travel > cfg.skip_neighbor_distance) & (
             pos_dist < delta_travel * cfg.inflation_covariance)
         ids = np.nonzero(ok_gate)[0]
+        # candidates past the storage cap have no descriptor payload
+        if len(ids):
+            ids = ids[np.array(
+                [self.descs[i] is not None for i in ids], dtype=bool)]
         return ids[np.argsort(pos_dist[ids])][: cfg.max_candidates]
 
     # ------------------------------------------------------------------
@@ -391,15 +401,24 @@ class LoopDetector:
     # ------------------------------------------------------------------
     def append(self, desc_sel: jnp.ndarray, sig: jnp.ndarray,
                pose_xyyaw: np.ndarray):
-        """Insert the current keyframe into the database (device refs)."""
+        """Insert the current keyframe into the database (device refs).
+
+        Beyond `cfg.max_keyframes` stored payloads, only the (tiny, host)
+        pose/travel bookkeeping is kept — the capacity policy for unbounded
+        runs (SURVEY section 5 long-sequence windowing)."""
         if self.travel:
             step_d = float(np.linalg.norm(
                 pose_xyyaw[:2] - self.poses[-1][:2]))
             self.travel.append(self.travel[-1] + step_d)
         else:
             self.travel.append(0.0)
-        self.descs.append(desc_sel)
-        self.sigs.append(sig)
+        if self._n_stored < self.cfg.max_keyframes:
+            self.descs.append(desc_sel)
+            self.sigs.append(sig)
+            self._n_stored += 1
+        else:
+            self.descs.append(None)
+            self.sigs.append(None)
         self.poses.append(np.asarray(pose_xyyaw, dtype=np.float64))
 
     # ------------------------------------------------------------------

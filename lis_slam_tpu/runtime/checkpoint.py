@@ -133,8 +133,15 @@ def save_slam(path: str, system) -> None:
     if ld.poses:
         arrs["ld_poses"] = np.asarray(ld.poses)
         arrs["ld_travel"] = np.asarray(ld.travel)
-        arrs["ld_sigs"] = np.stack([np.asarray(s) for s in ld.sigs])
-        arrs["ld_descs"] = np.stack([np.asarray(d) for d in ld.descs])
+        # entries past the max_keyframes storage cap are None (payload
+        # evicted); persist a mask and only the stored payloads
+        stored = np.array([d is not None for d in ld.descs], dtype=bool)
+        arrs["ld_stored"] = stored
+        if stored.any():
+            arrs["ld_sigs"] = np.stack(
+                [np.asarray(s) for s in ld.sigs if s is not None])
+            arrs["ld_descs"] = np.stack(
+                [np.asarray(d) for d in ld.descs if d is not None])
     # pending verified loops
     meta["n_loops"] = len(system.loops)
     for k, (i, j, T, fit) in enumerate(system.loops):
@@ -237,11 +244,22 @@ def load_slam(path: str, system) -> None:
 
     ld = system.loop_detector
     ld.descs, ld.sigs, ld.poses, ld.travel = [], [], [], []
+    ld._n_stored = 0
     if meta["n_ld"]:
         ld.poses = [p for p in data["ld_poses"]]
         ld.travel = list(data["ld_travel"])
-        ld.sigs = [jnp.asarray(s) for s in data["ld_sigs"]]
-        ld.descs = [jnp.asarray(d) for d in data["ld_descs"]]
+        if "ld_stored" in data:  # current format (payload-cap aware)
+            stored = data["ld_stored"]
+            sigs = iter(data["ld_sigs"]) if stored.any() else iter(())
+            descs = iter(data["ld_descs"]) if stored.any() else iter(())
+            ld.sigs = [jnp.asarray(next(sigs)) if s else None for s in stored]
+            ld.descs = [jnp.asarray(next(descs)) if s else None
+                        for s in stored]
+            ld._n_stored = int(stored.sum())
+        else:  # legacy checkpoints: everything stored
+            ld.sigs = [jnp.asarray(s) for s in data["ld_sigs"]]
+            ld.descs = [jnp.asarray(d) for d in data["ld_descs"]]
+            ld._n_stored = len(ld.descs)
     system.loops = []
     for k in range(meta["n_loops"]):
         ijf = data[f"lp{k}_ijf"]

@@ -155,6 +155,32 @@ def test_loop_detector_end_to_end(cfg):
     assert final[0].score > cfg.distance_threshold
 
 
+def test_loop_db_payload_cap(cfg):
+    """Beyond cfg.max_keyframes the DB keeps only pose/travel bookkeeping:
+    device payloads stay bounded, early keyframes stay loop-closable, and
+    the gate never selects a payload-evicted candidate."""
+    import dataclasses
+
+    small = dataclasses.replace(cfg, max_keyframes=5)
+    rng = np.random.default_rng(4)
+    pts, lab = make_scene(rng, n=6000)
+    det = epsc.LoopDetector(small)
+    d = compute_desc(pts, lab, small)
+    sel = epsc.select_descriptor(d, small.descriptor)
+    for k in range(14):
+        det.append(sel, d.signature, np.array([3.0 * k, 0.0, 0.0]))
+    assert det._n_stored == 5
+    assert len(det.poses) == 14  # bookkeeping keeps the full chain
+    assert all(x is None for x in det.descs[5:])
+    assert all(x is not None for x in det.descs[:5])
+    # revisit the origin: the gate passes frames 0-2 spatially; all of them
+    # are stored, and no evicted frame leaks through
+    ids = det.gate(np.array([0.5, 0.3, 0.0]))
+    assert len(ids) > 0
+    assert all(det.descs[i] is not None for i in ids)
+    assert max(ids) < 5
+
+
 @pytest.mark.slow
 def test_loop_detect_time_flat_in_db_size(cfg):
     """Per-keyframe loop detection must NOT scale with the descriptor-DB
