@@ -757,7 +757,7 @@ class SemanticSlam:
             for k, s in enumerate(self.collector.submaps):
                 s.pose_opt = opt[k]
 
-        raw = np.asarray(self.scan_poses)
+        raw = np.asarray(self.scan_poses, dtype=np.float64).reshape(-1, 6)
         corrected = raw.copy()
         # correct keyframe poses through their submap; propagate to scans
         kf_corr = {}
