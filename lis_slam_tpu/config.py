@@ -306,6 +306,14 @@ class GraphConfig:
     solver: str = "auto"
     dense_max_nodes: int = 256
     cg_iters: int = 96
+    # GNC-Cauchy robust kernel on LOOP edges (odometry stays quadratic):
+    # a false loop surviving the ICP fitness gate must not corrupt the
+    # graph. The kernel scale starts at gnc_start_c (effectively quadratic,
+    # so drifted-but-true loops still pull) and halves per LM sweep down to
+    # robust_c whitened sigmas (graduated non-convexity).
+    robust_loops: bool = True
+    robust_c: float = 3.0
+    gnc_start_c: float = 1e3
 
 
 @dataclass(frozen=True)

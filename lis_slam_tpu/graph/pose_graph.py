@@ -41,6 +41,10 @@ class PoseGraph(NamedTuple):
     edge_z: jnp.ndarray  # (E, 4, 4)
     edge_weight: jnp.ndarray  # (E, 6) per-axis sqrt information
     edge_mask: jnp.ndarray  # (E,)
+    # robust (Cauchy/GNC) kernel flag: loop-closure edges are suspect
+    # (a false loop that survives the ICP fitness gate would corrupt the
+    # whole graph under a quadratic cost); odometry edges stay quadratic
+    edge_robust: jnp.ndarray  # (E,)
     # unary priors (GPS / anchor): node -> measured pose
     prior_idx: jnp.ndarray  # (P,) int32
     prior_z: jnp.ndarray  # (P, 4, 4)
@@ -58,6 +62,7 @@ def empty_graph(max_nodes: int, max_edges: int, max_priors: int) -> PoseGraph:
         edge_z=jnp.broadcast_to(jnp.eye(4), (max_edges, 4, 4)),
         edge_weight=jnp.ones((max_edges, 6)),
         edge_mask=jnp.zeros(max_edges, bool),
+        edge_robust=jnp.zeros(max_edges, bool),
         prior_idx=jnp.zeros(max_priors, jnp.int32),
         prior_z=jnp.broadcast_to(jnp.eye(4), (max_priors, 4, 4)),
         prior_weight=jnp.ones((max_priors, 6)),
@@ -116,9 +121,38 @@ def _cost(graph: PoseGraph, nodes):
     return jnp.sum(r_e * r_e) + jnp.sum(r_p * r_p)
 
 
+def _robust_scale(r_e, robust, c):
+    """IRLS sqrt-weight of the Cauchy kernel rho(e2) = c^2 log(1 + e2/c^2)
+    over the whitened per-edge squared norm: w = rho'(e2) = 1/(1 + e2/c^2).
+    Quadratic edges (robust=False) keep weight 1."""
+    e2 = jnp.sum(r_e * r_e, axis=1)
+    w = 1.0 / (1.0 + e2 / (c * c))
+    return jnp.where(robust, jnp.sqrt(w), 1.0)
+
+
+def _robust_cost(graph: PoseGraph, nodes, c):
+    """Total cost with the Cauchy kernel on robust-flagged edges (the LM
+    accept/reject must compare the SAME objective the IRLS step descends)."""
+    r_e, _Ji, _Jj, r_p, _Jp = _masked_residuals(graph, nodes)
+    e2 = jnp.sum(r_e * r_e, axis=1)
+    ce = jnp.where(graph.edge_robust, c * c * jnp.log1p(e2 / (c * c)), e2)
+    return jnp.sum(ce) + jnp.sum(r_p * r_p)
+
+
+def _gnc_c(it, c_final, c_start):
+    """Graduated non-convexity schedule: the kernel scale starts huge (the
+    cost is then effectively quadratic, so a drifted-but-consistent loop can
+    still pull the chain together) and halves per LM sweep down to c_final
+    (where a residual inconsistent with the converged graph is cut). This is
+    the standard fix for robust kernels' chicken-and-egg problem: at the
+    drifted initialization TRUE loops also carry huge residuals."""
+    return jnp.maximum(c_final, c_start * jnp.power(0.5, it))
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def optimize(graph: PoseGraph, damping: float = 1e-6,
-             iterations: int = 20) -> PoseGraph:
+             iterations: int = 20, robust_c: float = 3.0,
+             gnc_start_c: float = 1e3) -> PoseGraph:
     """Levenberg-Marquardt over the whole graph; returns graph with updated
     nodes. Adaptive damping with step acceptance: pure Gauss-Newton with a
     fixed tiny damping OSCILLATES when strong unary priors (GPS) conflict
@@ -128,9 +162,18 @@ def optimize(graph: PoseGraph, damping: float = 1e-6,
     trust-region (Dogleg) solver for the same reason."""
     n = graph.nodes.shape[0]
 
-    def body(_, carry):
-        nodes, lam, cost = carry
+    def body(it, carry):
+        nodes, lam = carry
+        c = _gnc_c(it, robust_c, gnc_start_c)
         r_e, Ji, Jj, r_p, Jp = _masked_residuals(graph, nodes)
+        e2 = jnp.sum(r_e * r_e, axis=1)
+        cost = jnp.sum(jnp.where(
+            graph.edge_robust, c * c * jnp.log1p(e2 / (c * c)), e2)
+        ) + jnp.sum(r_p * r_p)
+        s = _robust_scale(r_e, graph.edge_robust, c)
+        r_e = r_e * s[:, None]
+        Ji = Ji * s[:, None, None]
+        Jj = Jj * s[:, None, None]
 
         # assemble H (6N, 6N) and b (6N,) by block scatter-add
         H = jnp.zeros((n, n, 6, 6))
@@ -157,23 +200,23 @@ def optimize(graph: PoseGraph, damping: float = 1e-6,
         delta = -jnp.linalg.solve(Hd, bd).reshape(n, 6)
         delta = delta * graph.node_mask[:, None]
         cand = nodes @ se3.se3_exp(delta)
-        new_cost = _cost(graph, cand)
+        new_cost = _robust_cost(graph, cand, c)
         accept = new_cost < cost
         nodes = jnp.where(accept, cand, nodes)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
-        cost = jnp.where(accept, new_cost, cost)
-        return nodes, lam, cost
+        return nodes, lam
 
-    nodes, _lam, _cost_f = jax.lax.fori_loop(
+    nodes, _lam = jax.lax.fori_loop(
         0, iterations, body,
-        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype),
-         _cost(graph, graph.nodes)))
+        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype)))
     return graph._replace(nodes=nodes)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))
 def optimize_cg(graph: PoseGraph, damping: float = 1e-6,
-                iterations: int = 20, cg_iters: int = 96) -> PoseGraph:
+                iterations: int = 20, cg_iters: int = 96,
+                robust_c: float = 3.0, gnc_start_c: float = 1e3
+                ) -> PoseGraph:
     """Matrix-free LM: the same factor objective and accept/reject outer
     loop as `optimize`, but each normal-equation solve is block-Jacobi-
     preconditioned conjugate gradients over the SPARSE Hessian — H is never
@@ -191,9 +234,18 @@ def optimize_cg(graph: PoseGraph, damping: float = 1e-6,
     n = graph.nodes.shape[0]
     ii, jj, pi = graph.edge_i, graph.edge_j, graph.prior_idx
 
-    def body(_, carry):
-        nodes, lam, cost = carry
+    def body(it, carry):
+        nodes, lam = carry
+        c = _gnc_c(it, robust_c, gnc_start_c)
         r_e, Ji, Jj, r_p, Jp = _masked_residuals(graph, nodes)
+        e2 = jnp.sum(r_e * r_e, axis=1)
+        cost = jnp.sum(jnp.where(
+            graph.edge_robust, c * c * jnp.log1p(e2 / (c * c)), e2)
+        ) + jnp.sum(r_p * r_p)
+        s = _robust_scale(r_e, graph.edge_robust, c)
+        r_e = r_e * s[:, None]
+        Ji = Ji * s[:, None, None]
+        Jj = Jj * s[:, None, None]
         Hii = jnp.einsum("eki,ekj->eij", Ji, Ji)
         Hjj = jnp.einsum("eki,ekj->eij", Jj, Jj)
         Hij = jnp.einsum("eki,ekj->eij", Ji, Jj)
@@ -245,17 +297,15 @@ def optimize_cg(graph: PoseGraph, damping: float = 1e-6,
             0, cg_iters, cg_body, (jnp.zeros((n, 6)), r0, z0, rz0))
         delta = delta * graph.node_mask[:, None]
         cand = nodes @ se3.se3_exp(delta)
-        new_cost = _cost(graph, cand)
+        new_cost = _robust_cost(graph, cand, c)
         accept = new_cost < cost
         nodes = jnp.where(accept, cand, nodes)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
-        cost = jnp.where(accept, new_cost, cost)
-        return nodes, lam, cost
+        return nodes, lam
 
-    nodes, _lam, _cost_f = jax.lax.fori_loop(
+    nodes, _lam = jax.lax.fori_loop(
         0, iterations, body,
-        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype),
-         _cost(graph, graph.nodes)))
+        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype)))
     return graph._replace(nodes=nodes)
 
 
@@ -287,15 +337,20 @@ class GraphBuilder:
             np.full(3, 1.0 / self.cfg.odom_trans_sigma),
             np.full(3, 1.0 / self.cfg.odom_rot_sigma),
         ]).astype(np.float32)
-        self.edges.append((i, j, np.asarray(z, np.float32), w))
+        self.edges.append((i, j, np.asarray(z, np.float32), w, False))
 
     def add_loop_edge(self, i: int, j: int, z: np.ndarray,
                       scale: float = 1.0):
+        """Loop edges carry the GNC-Cauchy robust kernel when
+        cfg.robust_loops: a false loop that survives the ICP fitness gate
+        must not corrupt the graph (the reference's iSAM2 has no robust
+        kernels — its only defense is that same gate)."""
         w = np.concatenate([
             np.full(3, 1.0 / (self.cfg.loop_trans_sigma / max(scale, 1e-3))),
             np.full(3, 1.0 / (self.cfg.loop_rot_sigma / max(scale, 1e-3))),
         ]).astype(np.float32)
-        self.edges.append((i, j, np.asarray(z, np.float32), w))
+        self.edges.append((i, j, np.asarray(z, np.float32), w,
+                           bool(self.cfg.robust_loops)))
 
     def add_gps_prior(self, i: int, T: np.ndarray, sigma_xyz: np.ndarray):
         w = np.concatenate([
@@ -333,8 +388,9 @@ class GraphBuilder:
                              (pe, 4, 4)).copy()
         ew = np.ones((pe, 6), np.float32)
         em = np.zeros(pe, bool)
-        for k, (i, j, z, w) in enumerate(self.edges):
-            ei[k], ej[k], ez[k], ew[k], em[k] = i, j, z, w, True
+        er = np.zeros(pe, bool)
+        for k, (i, j, z, w, robust) in enumerate(self.edges):
+            ei[k], ej[k], ez[k], ew[k], em[k], er[k] = i, j, z, w, True, robust
         pidx = np.zeros(pp, np.int32)
         pz = np.broadcast_to(np.eye(4, dtype=np.float32),
                              (pp, 4, 4)).copy()
@@ -346,7 +402,7 @@ class GraphBuilder:
             nodes=jnp.asarray(nodes), node_mask=jnp.asarray(node_mask),
             edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
             edge_z=jnp.asarray(ez), edge_weight=jnp.asarray(ew),
-            edge_mask=jnp.asarray(em),
+            edge_mask=jnp.asarray(em), edge_robust=jnp.asarray(er),
             prior_idx=jnp.asarray(pidx), prior_z=jnp.asarray(pz),
             prior_weight=jnp.asarray(pw), prior_mask=jnp.asarray(pmask),
         )
@@ -371,10 +427,14 @@ class GraphBuilder:
             out = optimize_cg(g, damping=self.cfg.damping,
                               iterations=iterations or
                               self.cfg.max_iterations,
-                              cg_iters=self.cfg.cg_iters)
+                              cg_iters=self.cfg.cg_iters,
+                              robust_c=self.cfg.robust_c,
+                              gnc_start_c=self.cfg.gnc_start_c)
         else:
             out = optimize(g, damping=self.cfg.damping,
-                           iterations=iterations or self.cfg.max_iterations)
+                           iterations=iterations or self.cfg.max_iterations,
+                           robust_c=self.cfg.robust_c,
+                           gnc_start_c=self.cfg.gnc_start_c)
         return len(self.nodes), out.nodes
 
     def consume_optimized(self, n: int, nodes_np: np.ndarray) -> np.ndarray:

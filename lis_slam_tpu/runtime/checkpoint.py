@@ -118,10 +118,11 @@ def save_slam(path: str, system) -> None:
     meta["n_priors"] = len(gb.priors)
     for k, n_ in enumerate(gb.nodes):
         arrs[f"gn{k}"] = n_
-    for k, (i, j, z, w) in enumerate(gb.edges):
+    for k, (i, j, z, w, robust) in enumerate(gb.edges):
         arrs[f"ge{k}_z"] = z
         arrs[f"ge{k}_w"] = w
         arrs[f"ge{k}_ij"] = np.asarray([i, j], np.int64)
+        arrs[f"ge{k}_r"] = np.bool_(robust)
     for k, (i, z, w) in enumerate(gb.priors):
         arrs[f"gp{k}_z"] = z
         arrs[f"gp{k}_w"] = w
@@ -236,8 +237,10 @@ def load_slam(path: str, system) -> None:
     gb.priors = []
     for k in range(meta["n_edges"]):
         ij = data[f"ge{k}_ij"]
+        robust = (bool(data[f"ge{k}_r"])
+                  if f"ge{k}_r" in data else False)  # legacy: quadratic
         gb.edges.append((int(ij[0]), int(ij[1]),
-                         data[f"ge{k}_z"], data[f"ge{k}_w"]))
+                         data[f"ge{k}_z"], data[f"ge{k}_w"], robust))
     for k in range(meta["n_priors"]):
         gb.priors.append((int(data[f"gp{k}_i"]),
                           data[f"gp{k}_z"], data[f"gp{k}_w"]))

@@ -304,6 +304,54 @@ def _drifted_square(gb, n_nodes=8, loop=True):
     return gt, est
 
 
+def test_false_loop_rejected_by_robust_kernel():
+    """A FALSE loop closure (wrong data association that slipped past the
+    ICP fitness gate) must not corrupt the graph: the GNC-Cauchy kernel on
+    loop edges (GraphConfig.robust_loops) cuts it once the rest of the
+    graph has converged, while the TRUE loop still corrects the drift.
+    Without the kernel the same graph is visibly dragged toward the bogus
+    constraint."""
+    import dataclasses
+
+    def run(robust: bool, solver: str):
+        cfg = dataclasses.replace(
+            GraphConfig(), robust_loops=robust, solver=solver)
+        gb = pose_graph.GraphBuilder(cfg, max_nodes=32, max_edges=64,
+                                     max_priors=8)
+        gt, est = _drifted_square(gb, n_nodes=16)  # true loop 15 -> 0
+        # false loop: claims node 4 and node 12 coincide (identity
+        # relative pose); in truth they sit on opposite square corners
+        gb.add_loop_edge(4, 12, np.eye(4, dtype=np.float32), scale=100.0)
+        opt = gb.optimize()
+        err = np.linalg.norm(
+            np.asarray(opt)[:, :3, 3] - np.asarray(gt)[:, :3, 3], axis=1)
+        return float(err.mean()), float(err.max())
+
+    for solver in ("dense", "cg"):
+        mean_rob, max_rob = run(True, solver)
+        mean_quad, max_quad = run(False, solver)
+        # the quadratic cost is visibly corrupted by the 14-m-wrong factor
+        assert max_quad > 1.0, (solver, max_quad)
+        # the robust kernel keeps the map near ground truth
+        assert max_rob < 0.35 * max_quad, (solver, max_rob, max_quad)
+        assert mean_rob < 0.5, (solver, mean_rob)
+
+
+def test_true_loop_still_corrects_under_robust_kernel():
+    """The GNC schedule must not throw away TRUE loops: with robust_loops
+    on (the default), the drifted square still snaps back (same bound as
+    test_pose_graph_corrects_drift)."""
+    cfg = GraphConfig()
+    assert cfg.robust_loops
+    gb = pose_graph.GraphBuilder(cfg, max_nodes=32, max_edges=64,
+                                 max_priors=8)
+    gt, est = _drifted_square(gb, n_nodes=16)
+    before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+    opt = gb.optimize()
+    after = np.linalg.norm(opt[-1][:3, 3] - gt[-1][:3, 3])
+    assert after < before * 0.6, (before, after)
+
+
 def test_pose_graph_cg_matches_dense():
     """The matrix-free PCG solver (optimize_cg) must land on the same
     optimum as the dense solve on a drifted loop with a GPS prior."""
