@@ -221,6 +221,11 @@ class SubMapConfig:
     yaw_max: float = 0.9
     translation_max: float = 50.0
     frames_size: int = 20
+    # subMapMaxTime / subMapOptmizationFirstSize: loaded by the reference's
+    # ParamServer (utility.h:459,467) but consumed by no code — its cut
+    # criterion is translation/yaw/frames only (judge_new_submap,
+    # subMap.h:1103-1122), which judge_new_submap here reproduces. Kept for
+    # preset parity.
     max_time: float = 3.0
     first_size: int = 2
     max_submaps: int = 256  # global pose-graph capacity
@@ -264,6 +269,11 @@ class LoopClosureConfig:
 
     enabled: bool = True
     descriptor: DescriptorType = DescriptorType.FEPSC
+    # loopClosureFrequency: the reference paces its loop THREAD at this
+    # wall rate (ros::Rate, subMapOptmizationNode.cpp:2330) while keyframes
+    # queue up; every keyframe is still processed eventually. Here loop
+    # work is dispatched asynchronously per keyframe and consumed a drain
+    # cycle later — same latency structure, no wall pacing needed.
     frequency: float = 2.0
     rings: int = 20
     sectors: int = 80
@@ -272,11 +282,20 @@ class LoopClosureConfig:
     lidar_height: float = 5.0
     skip_neighbor_distance: float = 20.0  # SKIP_NEIBOUR_DISTANCE
     inflation_covariance: float = 0.01  # INFLATION_COVARIANCE
+    # GEOMETRY/INTENSITY_THRESHOLD (epscGeneration.h:14-15): the reference
+    # consults these only in its offline loopDetectionTest harness
+    # (epscGeneration.cpp:1232,1248); the LIVE loopDetection path gates
+    # every descriptor family on DISTANCE_THRESHOLD (:779-860), which is
+    # what distance_threshold reproduces. Kept for preset parity.
     geometry_threshold: float = 0.15
     intensity_threshold: float = 0.79
     distance_threshold: float = 0.75
     label_threshold: float = 0.79
     rotation_search: int = 10  # +-10 sector shift in calculateDistance
+    # historyKeyframeSearch{Radius,TimeDiff}: loaded by the reference's
+    # ParamServer but consumed by no live code path (its kd-tree candidate
+    # search variant is commented out); the travel/inflation gate above is
+    # the live candidate gate. Kept for preset parity.
     history_search_radius: float = 15.0
     history_search_time_diff: float = 30.0
     history_fitness_score: float = 0.5
@@ -298,6 +317,15 @@ class GraphConfig:
     prior_sigma: float = 1e-4
     damping: float = 1e-6
     gps_cov_threshold: float = 2.0
+    # params.yaml poseCovThreshold, kept for preset parity. The reference
+    # SKIPS GPS factors while the iSAM2 marginal x/y variance of the latest
+    # pose is below this (addGPSFactor, subMapOptmizationNode.cpp:4230-4243)
+    # — a guard against GPS jitter dragging a confident graph. This rebuild
+    # deliberately always consumes covariance-gated fixes instead: priors
+    # are information-weighted by the fix covariance and the LM solver is
+    # monotone (plus robust loop kernels), so a confident graph simply
+    # outweighs a noisy fix — the failure mode the reference gates against
+    # cannot occur. Deviation covered by test_gps_priors_reduce_drift_*.
     pose_cov_threshold: float = 25.0
     # inner linear solver: "dense" (exact (6N)^3 factorization, best at
     # reference scale), "cg" (matrix-free block-Jacobi PCG, O(E) per
@@ -347,6 +375,9 @@ class RuntimeConfig:
     # (pipeline/slam.py). 1 = near-synchronous; larger amortizes the ~50 ms
     # D2H sync of tunneled TPUs at the cost of keyframe bookkeeping lag.
     drain_every: int = 6
+    # mappingProcessInterval: loaded by the reference's ParamServer but
+    # consumed by no code (params.yaml:128 comment notwithstanding). Kept
+    # for preset parity.
     mapping_process_interval: float = 0.15
     z_tolerance: float = 1000.0
     rotation_tolerance: float = 1000.0
