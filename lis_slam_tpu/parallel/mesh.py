@@ -18,18 +18,47 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
-    """2-D mesh (data, model). model_parallel must divide the device count."""
+def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
+              spatial_parallel: int = 1) -> Mesh:
+    """Mesh over (data, model[, space]). model_parallel * spatial_parallel
+    must divide the device count.
+
+    'space' shards the image WIDTH axis (sequence-parallel for a conv net:
+    XLA GSPMD turns spatially-sharded convolutions into per-shard convs +
+    halo exchanges over ICI) — RangeNet's 64x2048 spherical input is wide,
+    so width sharding parallelizes a SINGLE scan's inference/training
+    across chips, on top of dp over images and tp over channels."""
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
-    assert n % model_parallel == 0, (n, model_parallel)
+    assert n % (model_parallel * spatial_parallel) == 0, (
+        n, model_parallel, spatial_parallel)
+    if spatial_parallel > 1:
+        arr = np.asarray(devs).reshape(
+            n // (model_parallel * spatial_parallel), model_parallel,
+            spatial_parallel)
+        return Mesh(arr, axis_names=("data", "model", "space"))
     arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, axis_names=("data", "model"))
 
 
 def shard_batch(mesh: Mesh):
     """Batch arrays: leading axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_images(mesh: Mesh):
+    """(B, H, W, C) images: batch over 'data', width over 'space' when the
+    mesh has a spatial axis (the conv halo exchanges are XLA-inserted)."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", None, "space", None))
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_planes(mesh: Mesh):
+    """(B, H, W) label/mask planes: companion to shard_images."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", None, "space"))
     return NamedSharding(mesh, P("data"))
 
 

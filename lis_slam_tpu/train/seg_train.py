@@ -77,7 +77,11 @@ def make_train_step(model, tx):
 
 
 def make_sharded_train_step(model, tx, mesh):
-    """jit the train step with dp x tp shardings over the mesh."""
+    """jit the train step with dp x tp shardings over the mesh. For
+    additional spatial/width sharding (a 'space' mesh axis), annotate the
+    image/label/mask inputs with parallel.mesh.shard_images/shard_planes at
+    the call site — the jitted step propagates whatever input shardings it
+    receives and XLA inserts the conv halo exchanges."""
     from ..parallel import mesh as pmesh
 
     batch_sh = pmesh.shard_batch(mesh)

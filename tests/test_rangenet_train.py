@@ -93,3 +93,27 @@ def test_sharded_train_step_runs_on_mesh(small_cfg):
         if hasattr(x, "sharding") and x.ndim == 4 and x.shape[-1] >= 64
     ]
     assert any(s == P(None, None, None, "model") for s in specs)
+
+
+def test_spatial_width_sharded_train_step(small_cfg):
+    """dp x tp x sp mesh: the image WIDTH axis is sharded over 'space' and
+    the convolutions still train (XLA inserts the halo exchanges)."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = pmesh.make_mesh(8, model_parallel=2, spatial_parallel=2)
+    assert mesh.shape == {"data": 2, "model": 2, "space": 2}
+    key = jax.random.PRNGKey(2)
+    model, tx, state = seg_train.create_train_state(key, small_cfg,
+                                                    input_w=128)
+    jitted, shard_state, _ = seg_train.make_sharded_train_step(
+        model, tx, mesh)
+    state = shard_state(state)
+    images = jax.device_put(jnp.zeros((2, 64, 128, 5)),
+                            pmesh.shard_images(mesh))
+    labels = jax.device_put(jnp.zeros((2, 64, 128), jnp.int32),
+                            pmesh.shard_planes(mesh))
+    mask = jax.device_put(jnp.ones((2, 64, 128), bool),
+                          pmesh.shard_planes(mesh))
+    assert images.sharding.spec == P("data", None, "space", None)
+    state, metrics = jitted(state, images, labels, mask)
+    assert np.isfinite(float(metrics["loss"]))
