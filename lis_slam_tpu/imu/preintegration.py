@@ -179,6 +179,53 @@ def correct_delta(pre: PreintegratedImu, dbg: jnp.ndarray, dba: jnp.ndarray):
     return dR, dv, dp
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def predict_path(
+    imu_time: jnp.ndarray,  # (M,) seconds
+    gyro: jnp.ndarray,  # (M, 3)
+    accel: jnp.ndarray,  # (M, 3)
+    valid: jnp.ndarray,  # (M,)
+    state: ImuState,  # last optimized nav state (world frame)
+    cfg: ImuConfig,
+):
+    """IMU-rate odometry prediction: the world-frame pose at EVERY sample
+    of the window, propagated from the last optimized nav state with the
+    current bias estimates — the reference publishes this 200 Hz stream
+    from imuHandler for downstream consumers (odometry/imu,
+    subMapOptmizationNode.cpp:429-511). Returns (R (M,3,3), v (M,3),
+    p (M,3)); invalid samples repeat the previous pose.
+
+    The end-of-window prediction equals predict(state, preintegrate(...))
+    up to first-order bias terms (both integrate the same Euler-forward
+    chain; pinned by test)."""
+    m = imu_time.shape[0]
+    prev_t = jnp.concatenate([imu_time[:1], imu_time[:-1]])
+    dt = jnp.where(valid, imu_time - prev_t, 0.0)
+    idx = jnp.arange(m)
+    first = jnp.argmax(valid)
+    dt = jnp.where(idx == first, 0.0, dt)
+    dt = jnp.clip(dt, 0.0, 0.1)
+    g = jnp.array([0.0, 0.0, -cfg.gravity])
+
+    def step(carry, inp):
+        R, v, p = carry
+        w, a, dti = inp
+        w = w - state.bg
+        a = a - state.ba
+        a_w = R @ a + g
+        new_p = p + v * dti + 0.5 * a_w * dti * dti
+        new_v = v + a_w * dti
+        new_R = R @ se3.so3_exp(w * dti)
+        upd = dti > 0
+        out = (jnp.where(upd, new_R, R), jnp.where(upd, new_v, v),
+               jnp.where(upd, new_p, p))
+        return out, out
+
+    _, (Rs, vs, ps) = jax.lax.scan(
+        step, (state.R, state.v, state.p), (gyro, accel, dt))
+    return Rs, vs, ps
+
+
 def imu_to_lidar(gyro: jnp.ndarray, accel: jnp.ndarray, cfg: ImuConfig):
     """Rotate raw IMU measurements into the lidar frame (imuConverter,
     reference utility.h:482-517: acc/gyr left-multiplied by extRot)."""

@@ -92,6 +92,32 @@ class LioOdometry:
         self._prev_pose6 = None  # pose at that window's start (pose0)
         self._v0 = jnp.zeros(3)  # velocity estimate at pose0
 
+    def predict_imu_rate(self, imu_time: np.ndarray, imu_gyro: np.ndarray,
+                         imu_accel: np.ndarray) -> jnp.ndarray:
+        """IMU-rate odometry (the reference's odometry/imu stream published
+        per IMU sample from imuHandler, subMapOptmizationNode.cpp:429-511):
+        world pose6 at every sample of the given window, propagated from
+        the current optimized nav state with the current bias estimates.
+        One device call, returns a DEVICE (M, 6) array — downstream
+        consumers (controllers, viz) get ~IMU-rate poses between the
+        scan-rate updates of process_scan."""
+        m = self.cfg.imu.max_imu_per_scan
+        k = min(len(imu_time), m)
+        it = np.zeros(m, np.float32)
+        ig = np.zeros((m, 3), np.float32)
+        ia = np.zeros((m, 3), np.float32)
+        ia[:, 2] = self.cfg.imu.gravity
+        it[:k] = imu_time[:k]
+        ig[:k] = imu_gyro[:k]
+        ia[:k] = imu_accel[:k]
+        iv = np.arange(m) < k
+        ig_l, ia_l = pi.imu_to_lidar(
+            jnp.asarray(ig), jnp.asarray(ia), self.cfg.imu)
+        Rs, _vs, ps = pi.predict_path(
+            jnp.asarray(it), ig_l, ia_l, jnp.asarray(iv), self.imu_state,
+            self.cfg.imu)
+        return se3.matrix_to_pose(se3.make_transform(Rs, ps))[:k]
+
     def _reset_imu(self):
         """resetParams equivalent: re-anchor at the current lidar pose."""
         pose = np.asarray(self.state.pose)

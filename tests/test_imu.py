@@ -245,3 +245,63 @@ def test_closed_form_bias_refresh_vs_batch_solve():
     assert err_closed < 2.0 * err_batch + 0.004, (
         f"closed-form {bg_closed} vs batch {bg_batch} vs true {bg_true}"
     )
+
+
+def test_predict_path_imu_rate(window):
+    """predict_path (the IMU-rate odometry/imu stream equivalent) must (a)
+    end where predict(state, preintegrate(...)) ends at zero bias, and (b)
+    emit a pose per sample with monotone elapsed propagation."""
+    times, gyro, accel = window
+    cfg = ImuConfig(use_imu=True)
+    m = len(times)
+    valid = jnp.ones(m, bool)
+    rng = np.random.default_rng(7)
+    R0 = Rotation.from_euler("xyz", rng.uniform(-0.3, 0.3, 3)).as_matrix()
+    state = pi.ImuState(
+        R=jnp.asarray(R0, jnp.float32),
+        v=jnp.asarray([0.4, -0.1, 0.0], jnp.float32),
+        p=jnp.asarray([1.0, 2.0, 0.5], jnp.float32),
+        bg=jnp.zeros(3), ba=jnp.zeros(3),
+    )
+    Rs, vs, ps = pi.predict_path(
+        jnp.asarray(times), jnp.asarray(gyro), jnp.asarray(accel), valid,
+        state, cfg)
+    assert Rs.shape == (m, 3, 3) and ps.shape == (m, 3)
+    pre = pi.preintegrate(
+        jnp.asarray(times), jnp.asarray(gyro), jnp.asarray(accel), valid,
+        state.bg, state.ba, cfg)
+    end = pi.predict(state, pre, cfg.gravity)
+    np.testing.assert_allclose(np.asarray(Rs[-1]), np.asarray(end.R),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ps[-1]), np.asarray(end.p),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vs[-1]), np.asarray(end.v),
+                               atol=1e-3)
+    # first sample carries the initial state (dt forced to 0 there)
+    np.testing.assert_allclose(np.asarray(Rs[0]), R0, atol=1e-5)
+
+
+def test_lio_predict_imu_rate_api():
+    """LioOdometry.predict_imu_rate: (M, 6) device poses, finite, starting
+    at the current nav state."""
+    import dataclasses
+
+    from lis_slam_tpu.config import SlamConfig, SensorConfig
+    from lis_slam_tpu.pipeline import lio as lio_mod
+
+    base = SlamConfig()
+    cfg = base.replace(
+        sensor=SensorConfig(n_scan=16, horizon_scan=360, downsample_rate=1,
+                            max_raw_points=16 * 360),
+        imu=dataclasses.replace(base.imu, use_imu=True),
+    )
+    sys_ = lio_mod.LioOdometry(cfg)
+    t = np.arange(12, dtype=np.float32) * 0.01
+    g = np.tile(np.array([[0.0, 0.0, 0.3]], np.float32), (12, 1))
+    a = np.tile(np.array([[0.0, 0.0, 9.80511]], np.float32), (12, 1))
+    poses = np.asarray(sys_.predict_imu_rate(t, g, a))
+    assert poses.shape == (12, 6)
+    assert np.all(np.isfinite(poses))
+    np.testing.assert_allclose(poses[0], np.zeros(6), atol=1e-5)
+    # yaw integrates the gyro (extrinsic rotation is ~identity for KITTI)
+    assert poses[-1][2] > 0.02
