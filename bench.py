@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax.numpy as jnp
 
+from lis_slam_tpu.runtime.compile_cache import enable_compilation_cache
+
+# TensorRT-engine-serialization parity (netTensorRT.cpp:571-586): persist
+# compiled executables so warm benches skip the minutes-long tunnel compiles
+enable_compilation_cache()
+
 from lis_slam_tpu.config import SlamConfig, SensorConfig
 from lis_slam_tpu.io import synthetic_jax
 from lis_slam_tpu.pipeline import odometry, trajectory

@@ -29,6 +29,10 @@ if "--cpu" in sys.argv:
 
 import numpy as np
 
+from lis_slam_tpu.runtime.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()  # model.trt parity: warm launches skip compiles
+
 from lis_slam_tpu.config import PRESETS
 from lis_slam_tpu.io import kitti
 from lis_slam_tpu.pipeline import driver, slam, trajectory
