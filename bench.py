@@ -128,6 +128,7 @@ def main():
     n_sys = min(int(os.environ.get("BENCH_SYS_SCANS", "100")), 100)
     lio_sps = slam_sps = 0.0
     slam_n_loops = slam_n_submaps = 0
+    slam_stage_ms: dict = {}
     slam_err = ""
     try:
         if not budget_left():
@@ -181,8 +182,59 @@ def main():
         slam_sps, system = run_slam()
         slam_n_submaps = len(system.collector.submaps)
         slam_n_loops = system._n_loop_factors + len(system.loops)
+        # per-stage wall-clock breakdown (total ms over the run, host view):
+        # where each full-SLAM millisecond goes — the reference logs the
+        # same running averages per node (e.g. subMapOptmizationNode.cpp:
+        # 730-736)
+        slam_stage_ms = {
+            k: round(v["mean_ms"] * v["count"], 1)
+            for k, v in system.timer.report().items()
+        }
     except Exception as e:  # pragma: no cover
         slam_err += f"slam: {e}; "
+
+    # ---- LIO full SLAM: the SAME plaza replay with the IMU stream fused
+    # inside the per-scan program (preintegrated guess + gyro deskew +
+    # covariance-weighted bias updates; IMUPreintegration,
+    # subMapOptmizationNode.cpp:2007-2219). Synthetic IMU consistent with
+    # the circuit: yaw rate omega, centripetal accel v*omega, gravity —
+    # pre-rotated by extRot^T so imuConverter recovers the lidar frame. ----
+    lio_slam_sps = 0.0
+    lio_slam_resets = -1
+    try:
+        if not budget_left() or not slam_sps:
+            raise TimeoutError("bench budget exhausted")
+        import dataclasses as _dcl
+
+        lcfg2 = cfg.replace(imu=_dcl.replace(cfg.imu, use_imu=True))
+        omega, speed = 6.3 / 10.0, 6.3
+        R_ext = np.asarray(lcfg2.imu.extrinsic_rot, np.float64)
+        g_l = np.array([0.0, 0.0, omega])
+        a_l = np.array([0.0, speed * omega, lcfg2.imu.gravity])
+        imu_g1 = np.tile((R_ext.T @ g_l)[None, :], (12, 1)).astype(np.float32)
+        imu_a1 = np.tile((R_ext.T @ a_l)[None, :], (12, 1)).astype(np.float32)
+        imu_t0 = np.arange(12, dtype=np.float32) * 0.01
+
+        def run_lio_slam():
+            system = slam_mod.SemanticSlam(lcfg2)
+            system.process_scan(
+                sys_scans[0], gt_labels=labels_np[0],
+                imu_time=imu_t0, imu_gyro=imu_g1, imu_accel=imu_a1)
+            t0 = time.perf_counter()
+            for i in range(1, n_sys):
+                system.process_scan(
+                    sys_scans[i], gt_labels=labels_np[i], timestamp=i * 0.1,
+                    imu_time=imu_t0 + i * 0.1, imu_gyro=imu_g1,
+                    imu_accel=imu_a1)
+            system.flush_pipeline()
+            jax.device_get(system.state.pose)
+            return (n_sys - 1) / (time.perf_counter() - t0), system
+
+        run_lio_slam()  # warmup/compile
+        lio_slam_sps, lio_sys2 = run_lio_slam()
+        lio_slam_resets = lio_sys2.n_imu_resets
+    except Exception as e:  # pragma: no cover
+        slam_err += f"lio_slam: {e}; "
 
     # ---- batched multi-sequence replay (config 5): aggregate throughput
     # via the cond-free uniform step (odom_step_uniform). On ONE chip the
@@ -281,6 +333,9 @@ def main():
             "full_slam_scans_per_sec": round(slam_sps, 2),
             "full_slam_submaps": slam_n_submaps,
             "full_slam_loop_factors": slam_n_loops,
+            "full_slam_stage_total_ms": slam_stage_ms,
+            "lio_full_slam_scans_per_sec": round(lio_slam_sps, 2),
+            "lio_full_slam_imu_resets": lio_slam_resets,
             "sys_scans": n_sys,
             "device": str(jax.devices()[0]),
             **({"sys_err": slam_err} if slam_err else {}),

@@ -79,6 +79,20 @@ class ImuConfig:
     gyr_bias_noise: float = 3.5640318696367613e-05
     gravity: float = 9.80511
     rpy_weight: float = 0.1
+    # --- noise model for the covariance-weighted bias/velocity MAP update
+    # (velocity_bias_update/2) — the counterpart of the reference's gtsam
+    # noise models (subMapOptmizationNode.cpp:380-387): the lidar pose
+    # anchors play correctionNoise's role (per-axis sigmas of the scan-to-
+    # map pose; the reference's isotropic sigma=1 is deliberately loose for
+    # robustness, these reflect the solver's actual accuracy), the bias
+    # prior plays priorBiasNoise's role, the velocity prior priorVelNoise's
+    # (1e4 there — effectively free; v is observable from two windows). ---
+    pose_anchor_rot_sigma: float = 0.01  # rad
+    pose_anchor_pos_sigma: float = 0.02  # m
+    # initial [bg, ba] marginal sigma: an uncalibrated MEMS accel bias is
+    # O(0.1 m/s^2), so the prior must not shrink a real bias away
+    bias_prior_sigma: float = 0.1
+    v0_prior_sigma: float = 10.0  # m/s
     # extrinsic rotation IMU->lidar (KITTI values from params.yaml)
     extrinsic_rot: tuple = (
         (9.999976e-01, 7.553071e-04, -2.035826e-03),

@@ -43,13 +43,30 @@ class PreintegratedImu(NamedTuple):
 
 
 class ImuState(NamedTuple):
-    """Propagated navigation state (world frame)."""
+    """Propagated navigation state (world frame).
+
+    `P_bias` is the running [bg, ba] marginal covariance — the stand-in for
+    the iSAM2 bias marginal the reference carries across keys
+    (subMapOptmizationNode.cpp:2007-2219): it starts at the bias prior
+    (priorBiasNoise's role), inflates by the bias random walk between
+    updates (noiseModelBetweenBias, :2129), and contracts as window
+    residual information accumulates."""
 
     R: jnp.ndarray  # (3, 3)
     v: jnp.ndarray  # (3,)
     p: jnp.ndarray  # (3,)
     bg: jnp.ndarray  # (3,) gyro bias
     ba: jnp.ndarray  # (3,) accel bias
+    P_bias: jnp.ndarray = jnp.eye(6) * 0.1**2  # (6, 6) [bg, ba] covariance
+
+
+def init_imu_state(cfg: ImuConfig) -> ImuState:
+    """Fresh nav state with the configured bias prior."""
+    return ImuState(
+        R=jnp.eye(3), v=jnp.zeros(3), p=jnp.zeros(3),
+        bg=jnp.zeros(3), ba=jnp.zeros(3),
+        P_bias=jnp.eye(6) * cfg.bias_prior_sigma**2,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -61,11 +78,29 @@ def preintegrate(
     bg: jnp.ndarray,  # (3,) gyro bias estimate
     ba: jnp.ndarray,  # (3,) accel bias estimate
     cfg: ImuConfig,
+    t0: jnp.ndarray | None = None,  # () clip window start (optional)
+    t1: jnp.ndarray | None = None,  # () clip window end (optional)
 ) -> PreintegratedImu:
-    """Integrate the window with bias-corrected measurements."""
+    """Integrate the window with bias-corrected measurements.
+
+    With `t0`/`t1`, integration is CLIPPED to [t0, t1]: sample times are
+    clamped to the interval, so segments outside contribute zero dt and
+    boundary segments are truncated. This matters because the delivered
+    window covers the sweep plus slack, while the delta consumed by
+    predict/velocity_bias_update must span EXACTLY the pose-pair interval
+    (the reference integrates between consecutive lidar odometry stamps,
+    subMapOptmizationNode.cpp:2096-2118 `imuTime < currentCorrectionTime`);
+    an unclipped 0.11 s window against 0.10 s pose spacing biases the
+    velocity estimate 10% low.
+    """
     m = imu_time.shape[0]
-    prev_t = jnp.concatenate([imu_time[:1], imu_time[:-1]])
-    dt = jnp.where(valid, imu_time - prev_t, 0.0)
+    t = imu_time
+    if t0 is not None:
+        t = jnp.maximum(t, t0)
+    if t1 is not None:
+        t = jnp.minimum(t, t1)
+    prev_t = jnp.concatenate([t[:1], t[:-1]])
+    dt = jnp.where(valid, t - prev_t, 0.0)
     idx = jnp.arange(m)
     first = jnp.argmax(valid)
     dt = jnp.where(idx == first, 0.0, dt)
@@ -108,9 +143,12 @@ def preintegrate(
         B = B.at[0:3, 0:3].set(Jr * dti)
         B = B.at[3:6, 3:6].set(pre.delta_R * dti)
         B = B.at[6:9, 3:6].set(0.5 * pre.delta_R * dti * dti)
+        # continuous->discrete: Q_d = Q_c / dt (noise densities from
+        # params.yaml are continuous; B already carries the dt factors, so
+        # B (Q_c/dt) B^T ~ sigma^2 * dt — the random-walk growth rate)
         Q = jnp.diag(
             jnp.concatenate([jnp.full(3, sg2), jnp.full(3, sa2)])
-        )
+        ) / jnp.maximum(dti, 1e-4)
         new_cov = A @ pre.cov @ A.T + B @ Q @ B.T
         integrate = dti > 0
         out = PreintegratedImu(
@@ -168,7 +206,8 @@ def predict(state: ImuState, pre: PreintegratedImu, gravity: float) -> ImuState:
     new_p = state.p + state.v * dt + 0.5 * g * dt * dt + state.R @ pre.delta_p
     new_v = state.v + g * dt + state.R @ pre.delta_v
     new_R = state.R @ pre.delta_R
-    return ImuState(R=new_R, v=new_v, p=new_p, bg=state.bg, ba=state.ba)
+    return ImuState(R=new_R, v=new_v, p=new_p, bg=state.bg, ba=state.ba,
+                    P_bias=state.P_bias)
 
 
 def correct_delta(pre: PreintegratedImu, dbg: jnp.ndarray, dba: jnp.ndarray):
@@ -281,7 +320,16 @@ def failure_detection(velocity: jnp.ndarray, bg: jnp.ndarray,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("gravity", "gain"))
+def _whiten(S: jnp.ndarray, Jb: jnp.ndarray, rb: jnp.ndarray):
+    """Whiten a 3-residual block by its covariance: L^-1 J, L^-1 r."""
+    from jax.scipy.linalg import solve_triangular
+
+    L = jnp.linalg.cholesky(S + 1e-12 * jnp.eye(3))
+    return (solve_triangular(L, Jb, lower=True),
+            solve_triangular(L, rb, lower=True))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def velocity_bias_update2(
     state: ImuState,
     pre1: PreintegratedImu,  # window pose0 -> pose1
@@ -290,24 +338,33 @@ def velocity_bias_update2(
     pose1: jnp.ndarray,
     pose2: jnp.ndarray,
     v0_est: jnp.ndarray,  # (3,) velocity estimate at pose0
-    gravity: float,
-    gain: float = 1.0,
+    cfg: ImuConfig,
 ):
-    """TWO-window joint (bg, ba, v) solve from three lidar-anchored poses.
+    """TWO-window joint (bg, ba, v) MAP solve from three lidar-anchored
+    poses, covariance-weighted.
 
     A single window cannot separate an accel bias from a start-velocity
     error (both shift delta_p; the bias by -0.5 dt^2, the velocity by dt) —
     the reference's iSAM2 separates them because consecutive ImuFactors
     share the velocity variable (subMapOptmizationNode.cpp:2007-2219). This
     is that same two-factor coupling in closed form: 12 residuals (2x
-    rotation, 2x position) over 9 unknowns [dbg, dba, dv0], solved as one
-    damped 9x9 normal system on device.
+    rotation, 2x position) over 9 unknowns [dbg, dba, dv0].
+
+    Weighting is principled, not tuned: each residual block is whitened by
+    its covariance — the propagated 9x9 preintegration covariance plus the
+    pose-anchor noise (correctionNoise's role) — and the unknowns carry a
+    prior [state.P_bias inflated by the bias random walk
+    (noiseModelBetweenBias, :2129); a loose v0 prior (priorVelNoise's
+    role)]. The posterior bias marginal is written back to P_bias, so
+    information accumulates across window pairs exactly like consecutive
+    iSAM2 updates. The only remaining clamps are wide FINAL-SAFETY bounds
+    (far inside the failure-detection gate at 1.0), not tuning.
 
     Returns (new ImuState anchored at pose2 with the propagated current
     velocity, v1) — v1 is the corrected velocity at pose1, which becomes
     the next call's `v0_est` when the window pair slides by one.
     """
-    g = jnp.array([0.0, 0.0, -gravity])
+    g = jnp.array([0.0, 0.0, -cfg.gravity])
     R0 = se3.euler_to_rot(pose0[:3])
     R1 = se3.euler_to_rot(pose1[:3])
     R2 = se3.euler_to_rot(pose2[:3])
@@ -324,26 +381,48 @@ def velocity_bias_update2(
     R1tR0 = R1.T @ R0
     Z = jnp.zeros((3, 3))
     I3 = jnp.eye(3)
-    # unknown ordering: [dbg, dba, dv0]
-    J = jnp.concatenate([
-        jnp.concatenate([pre1.dR_dbg, Z, Z], 1),
-        jnp.concatenate([pre2.dR_dbg, Z, Z], 1),
-        jnp.concatenate([pre1.dp_dbg, pre1.dp_dba, R0.T * dt1], 1),
-        jnp.concatenate([
-            pre2.dp_dbg + R1tR0 @ pre1.dv_dbg * dt2,
-            pre2.dp_dba + R1tR0 @ pre1.dv_dba * dt2,
-            R1.T * dt2], 1),
-    ], 0)  # (12, 9)
-    r = jnp.concatenate([rR1, rR2, rp1, rp2])
-    H = J.T @ J + 1e-6 * jnp.eye(9)
-    delta = jnp.linalg.solve(H, J.T @ r)
-    # damped AND step-clamped updates — the bias random walk prior of the
-    # reference's noise model (imuAccBiasN/imuGyrBiasN): biases move slowly,
-    # so one window's residual (which early on is polluted by the raw v0
-    # estimate) cannot fling them across the failure-detection gate
-    dbg = jnp.clip(gain * 0.2 * delta[0:3], -0.05, 0.05)
-    dba = jnp.clip(gain * 0.3 * delta[3:6], -0.1, 0.1)
-    dv0 = gain * 0.5 * delta[6:9]
+    # unknown ordering: [dbg, dba, dv0]; Jacobian rows per residual block
+    J_R1 = jnp.concatenate([pre1.dR_dbg, Z, Z], 1)
+    J_R2 = jnp.concatenate([pre2.dR_dbg, Z, Z], 1)
+    J_p1 = jnp.concatenate([pre1.dp_dbg, pre1.dp_dba, R0.T * dt1], 1)
+    J_p2 = jnp.concatenate([
+        pre2.dp_dbg + R1tR0 @ pre1.dv_dbg * dt2,
+        pre2.dp_dba + R1tR0 @ pre1.dv_dba * dt2,
+        R1.T * dt2], 1)
+
+    # residual covariances: preintegration blocks [theta 0:3, v 3:6, p 6:9]
+    # + the two pose anchors each residual touches; rp2 additionally
+    # inherits window-1's velocity error propagated over dt2
+    s_rot2 = 2.0 * cfg.pose_anchor_rot_sigma**2
+    s_pos2 = 2.0 * cfg.pose_anchor_pos_sigma**2
+    S_R1 = pre1.cov[0:3, 0:3] + s_rot2 * I3
+    S_R2 = pre2.cov[0:3, 0:3] + s_rot2 * I3
+    S_p1 = pre1.cov[6:9, 6:9] + s_pos2 * I3
+    S_p2 = (pre2.cov[6:9, 6:9] + s_pos2 * I3
+            + dt2 * dt2 * (R1tR0 @ pre1.cov[3:6, 3:6] @ R1tR0.T))
+
+    JR1, rR1w = _whiten(S_R1, J_R1, rR1)
+    JR2, rR2w = _whiten(S_R2, J_R2, rR2)
+    Jp1, rp1w = _whiten(S_p1, J_p1, rp1)
+    Jp2, rp2w = _whiten(S_p2, J_p2, rp2)
+    Jw = jnp.concatenate([JR1, JR2, Jp1, Jp2], 0)  # (12, 9)
+    rw = jnp.concatenate([rR1w, rR2w, rp1w, rp2w])
+
+    # prior information: random-walk-inflated bias marginal + loose v0
+    P_b = state.P_bias + jnp.diag(jnp.concatenate([
+        jnp.full(3, cfg.gyr_bias_noise**2),
+        jnp.full(3, cfg.acc_bias_noise**2)])) * (dt1 + dt2)
+    Lam = jnp.zeros((9, 9))
+    Lam = Lam.at[:6, :6].set(jnp.linalg.inv(P_b))
+    Lam = Lam.at[6:, 6:].set(I3 / cfg.v0_prior_sigma**2)
+
+    H = Jw.T @ Jw + Lam
+    delta = jnp.linalg.solve(H, Jw.T @ rw)
+    P_post = jnp.linalg.inv(H)[:6, :6]
+    # wide FINAL-SAFETY clamps only (failure gate is |bias| > 1.0)
+    dbg = jnp.clip(delta[0:3], -0.1, 0.1)
+    dba = jnp.clip(delta[3:6], -0.2, 0.2)
+    dv0 = delta[6:9]
 
     bg_new = state.bg + dbg
     ba_new = state.ba + dba
@@ -353,43 +432,49 @@ def velocity_bias_update2(
         pre1.delta_v + pre1.dv_dbg @ dbg + pre1.dv_dba @ dba)
     v2 = v1 + g * dt2 + R1 @ (
         pre2.delta_v + pre2.dv_dbg @ dbg + pre2.dv_dba @ dba)
-    return ImuState(R=R2, v=v2, p=p2, bg=bg_new, ba=ba_new), v1
+    return ImuState(R=R2, v=v2, p=p2, bg=bg_new, ba=ba_new,
+                    P_bias=P_post), v1
 
 
-@functools.partial(jax.jit, static_argnames=("gravity", "gain"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def velocity_bias_update(
     state: ImuState,
     pre: PreintegratedImu,
     pose_prev: jnp.ndarray,  # (6,) lidar-optimized pose at window start
     pose_new: jnp.ndarray,  # (6,) lidar-optimized pose at window end
-    gravity: float,
-    gain: float = 1.0,
+    cfg: ImuConfig,
 ) -> ImuState:
-    """Closed-form velocity + first-order bias refresh from the lidar pose
-    pair — the TPU-native stand-in for the reference's per-key iSAM2 update
-    (the graph there only ever couples consecutive states, so the
-    information-form solution collapses to this residual correction).
-    """
-    from ..utils import lin
+    """Closed-form velocity + covariance-weighted gyro-bias refresh from the
+    lidar pose pair — the TPU-native stand-in for the reference's per-key
+    iSAM2 update (the graph there only ever couples consecutive states, so
+    the information-form solution collapses to this residual correction).
 
+    Accel bias is NOT observable from one window (indistinguishable from a
+    start-velocity error); the steady-state LIO path estimates it jointly
+    over two windows (velocity_bias_update2). The gyro-bias step is the MAP
+    update: rotation residual whitened by its covariance (preintegration
+    theta block + anchor noise) against the running P_bias marginal —
+    no hand gain.
+    """
     R0 = se3.euler_to_rot(pose_prev[:3])
     p0 = pose_prev[3:]
     p1 = pose_new[3:]
-    g = jnp.array([0.0, 0.0, -gravity])
+    g = jnp.array([0.0, 0.0, -cfg.gravity])
     dt = jnp.maximum(pre.delta_t, 1e-3)
     # velocity consistent with observed displacement and preintegrated delta
-    v_obs = (p1 - p0 - 0.5 * g * dt * dt - R0 @ pre.delta_p) / dt
-    v_new = state.v + gain * (v_obs - state.v)
-    # gyro bias from rotation residual: R0 dR(b) ~ R1. Accel bias is NOT
-    # observable from one window (it is indistinguishable from a start-
-    # velocity error); the steady-state LIO path estimates it jointly over
-    # two windows (velocity_bias_update2).
+    v_new = (p1 - p0 - 0.5 * g * dt * dt - R0 @ pre.delta_p) / dt
+    # gyro bias from rotation residual: R0 dR(b) ~ R1
     R1 = se3.euler_to_rot(pose_new[:3])
     dR_obs = R0.T @ R1
     rot_res = se3.so3_log(pre.delta_R.T @ dR_obs)
-    JtJ = pre.dR_dbg.T @ pre.dR_dbg + 1e-6 * jnp.eye(3)
-    dbg = lin.inv3(JtJ) @ (pre.dR_dbg.T @ rot_res)
-    bg_new = state.bg + gain * 0.1 * dbg  # damped, like the iSAM2 prior
+    I3 = jnp.eye(3)
+    S_R = pre.cov[0:3, 0:3] + 2.0 * cfg.pose_anchor_rot_sigma**2 * I3
+    Jw, rw = _whiten(S_R, pre.dR_dbg, rot_res)
+    P_bg = state.P_bias[:3, :3] + cfg.gyr_bias_noise**2 * dt * I3
+    H = Jw.T @ Jw + jnp.linalg.inv(P_bg)
+    dbg = jnp.clip(jnp.linalg.solve(H, Jw.T @ rw), -0.1, 0.1)
+    bg_new = state.bg + dbg
+    P_bias = state.P_bias.at[:3, :3].set(jnp.linalg.inv(H))
     return ImuState(
-        R=R1, v=v_new, p=p1, bg=bg_new, ba=state.ba,
+        R=R1, v=v_new, p=p1, bg=bg_new, ba=state.ba, P_bias=P_bias,
     )

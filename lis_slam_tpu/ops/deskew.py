@@ -88,13 +88,19 @@ def deskew_points(
     t: jnp.ndarray,  # (N,) seconds from scan start
     info: DeskewInfo,
     valid: jnp.ndarray,  # (N,) bool
+    vel_body: jnp.ndarray | None = None,  # (3,) m/s, scan-start body frame
 ) -> jnp.ndarray:
     """Rotate points into the scan-start frame (deskewPoint).
 
     T(t) = getTransformation(0,0,0, rotX(t), rotY(t), rotZ(t));
     p' = (T(t0)^-1 @ T(t)) p, where t0 is the first projected point's time.
-    Positional deskew is intentionally zero (findPosition is disabled in the
-    reference for slow platforms).
+
+    `vel_body` adds the positional term the reference disables
+    (findPosition, laserProcessing.cpp:402-425 — zeroed there for slow
+    platforms): p' += v_body * t. At speed v the translation distortion is
+    v * scan_period per sweep (0.6 m at 6 m/s) — LARGER than the rotational
+    term for nearby points, so the LIO path feeds the nav-state velocity
+    here. Rotation-only (vel_body=None / zeros) reproduces the reference.
     """
     rpy = rotation_at(info, t)  # (N, 3)
     # anchor: rotation at the earliest valid point time
@@ -102,8 +108,10 @@ def deskew_points(
     rpy0 = rotation_at(info, t0[None])[0]
     R = se3.euler_to_rot(rpy)
     R0 = se3.euler_to_rot(rpy0)
-    # R_bt = R0^T @ R(t) ; p' = R_bt @ p
+    # R_bt = R0^T @ R(t) ; p' = R_bt @ p (+ v_body (t - t0))
     Rbt = jnp.einsum("ji,njk->nik", R0, R)
     out = jnp.einsum("nij,nj->ni", Rbt, points)
+    if vel_body is not None:
+        out = out + vel_body[None, :] * (t - t0)[:, None]
     use = valid & info.available
     return jnp.where(use[:, None], out, points)

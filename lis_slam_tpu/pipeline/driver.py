@@ -64,6 +64,7 @@ def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
         imu_gyro=jnp.asarray(ig),
         imu_valid=jnp.asarray(iv),
         scan_start=jnp.float32(scan_start),
+        imu_accel=jnp.zeros((m, 3), jnp.float32),
         vel=jnp.asarray(np.asarray(velocity, np.float32) if has_vel
                         else np.zeros(3, np.float32)),
         ang_rate=jnp.asarray(

@@ -27,18 +27,27 @@ from . import odometry
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _lio_prestep(imu_time, gyro, accel, valid, imu_state, cfg):
+def _lio_prestep(cur_gyro, cur_accel, prev_time, prev_gyro_l, prev_accel_l,
+                 prev_valid, prev_start, cur_start, imu_state, cfg):
     """ONE device program for the pre-odometry IMU chain: extrinsic
-    rotation, preintegration, state prediction, initial-guess assembly.
-    (Eager op-by-op dispatch costs ~5-10 ms per op through a tunneled TPU.)
-    cfg is the full SlamConfig (hashable)."""
-    g_j, a_j = pi.imu_to_lidar(gyro, accel, cfg.imu)
+    rotation of the current window (for deskew), preintegration of the
+    PREVIOUS window clipped to the realized inter-scan interval
+    [prev_start, cur_start] (the delta that moves the nav state from
+    pose_{i-1} to pose_i; the reference integrates between consecutive
+    odometry stamps, subMapOptmizationNode.cpp:2096-2118), state
+    prediction, and initial-guess assembly. (Eager op-by-op dispatch costs
+    ~5-10 ms per op through a tunneled TPU.)"""
+    g_j, a_j = pi.imu_to_lidar(cur_gyro, cur_accel, cfg.imu)
     pre = pi.preintegrate(
-        imu_time, g_j, a_j, valid, imu_state.bg, imu_state.ba, cfg.imu)
+        prev_time, prev_gyro_l, prev_accel_l, prev_valid,
+        imu_state.bg, imu_state.ba, cfg.imu, t0=prev_start, t1=cur_start)
     pred = pi.predict(imu_state, pre, cfg.imu.gravity)
     guess = jnp.concatenate(
         [se3.rot_to_euler(pred.R), pred.p]).astype(jnp.float32)
-    return pre, guess, g_j
+    # predicted body-frame velocity at scan start for the positional deskew
+    # term (the findPosition term the reference zeroes for slow platforms)
+    vel_body = (pred.R.T @ pred.v).astype(jnp.float32)
+    return pre, guess, g_j, a_j, vel_body, pre.count >= 1
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -48,7 +57,7 @@ def _lio_poststep2(imu_state, pre1, pre2, pose0, pose1, pose2, v0_est,
     program (the steady-state path: separates accel bias from velocity the
     way consecutive iSAM2 ImuFactors do)."""
     new_state, v1 = pi.velocity_bias_update2(
-        imu_state, pre1, pre2, pose0, pose1, pose2, v0_est, cfg.imu.gravity)
+        imu_state, pre1, pre2, pose0, pose1, pose2, v0_est, cfg.imu)
     fail = pi.failure_detection(new_state.v, new_state.bg, new_state.ba)
     return new_state, v1, fail_acc | fail
 
@@ -62,7 +71,7 @@ def _lio_poststep(imu_state, pre, last_pose6, pose6, fail_acc, cfg):
     it (the reference runs failureDetection on every update,
     subMapOptmizationNode.cpp:2153-2156)."""
     new_state = pi.velocity_bias_update(
-        imu_state, pre, last_pose6, pose6, cfg.imu.gravity)
+        imu_state, pre, last_pose6, pose6, cfg.imu)
     fail = pi.failure_detection(new_state.v, new_state.bg, new_state.ba)
     return new_state, fail_acc | fail
 
@@ -80,10 +89,7 @@ class LioOdometry:
         assert cfg.imu.use_imu, "LIO requires imu.use_imu=True"
         self.cfg = cfg
         self.state = odometry.init_state(cfg)
-        self.imu_state = pi.ImuState(
-            R=jnp.eye(3), v=jnp.zeros(3), p=jnp.zeros(3),
-            bg=jnp.zeros(3), ba=jnp.zeros(3),
-        )
+        self.imu_state = pi.init_imu_state(cfg.imu)
         self.diag = LioDiagnostics()
         self._last_pose6: np.ndarray | None = None
         self._fail_acc = jnp.bool_(False)  # sticky device-side failure latch
@@ -91,6 +97,10 @@ class LioOdometry:
         self._prev_pre = None  # preintegration of the previous window
         self._prev_pose6 = None  # pose at that window's start (pose0)
         self._v0 = jnp.zeros(3)  # velocity estimate at pose0
+        # raw previous scan's IMU window (lidar frame) + its scan_start:
+        # preintegrated at the NEXT scan, clipped to the realized
+        # inter-scan interval
+        self._prev_win = None  # (time, gyro_l, accel_l, valid, scan_start)
 
     def predict_imu_rate(self, imu_time: np.ndarray, imu_gyro: np.ndarray,
                          imu_accel: np.ndarray) -> jnp.ndarray:
@@ -121,10 +131,9 @@ class LioOdometry:
     def _reset_imu(self):
         """resetParams equivalent: re-anchor at the current lidar pose."""
         pose = np.asarray(self.state.pose)
-        self.imu_state = pi.ImuState(
+        self.imu_state = pi.init_imu_state(self.cfg.imu)._replace(
             R=se3.euler_to_rot(jnp.asarray(pose[:3])),
-            v=jnp.zeros(3), p=jnp.asarray(pose[3:]),
-            bg=jnp.zeros(3), ba=jnp.zeros(3),
+            p=jnp.asarray(pose[3:]),
         )
         self._prev_pre = None
         self._prev_pose6 = None
@@ -162,21 +171,29 @@ class LioOdometry:
         ia[:k] = imu_accel[:k]
         iv = np.arange(m) < k
 
-        pre = guess = g_buf = None
-        if k >= 2:
-            pre, guess, g_buf = _lio_prestep(
-                jnp.asarray(it), jnp.asarray(ig), jnp.asarray(ia),
-                jnp.asarray(iv), self.imu_state, cfg)
+        pre = guess = g_buf = a_buf = vel_body = win_ok = None
+        it_j, iv_j = jnp.asarray(it), jnp.asarray(iv)
+        if k >= 2 and self._prev_win is not None:
+            pre, guess, g_buf, a_buf, vel_body, win_ok = _lio_prestep(
+                jnp.asarray(ig), jnp.asarray(ia), *self._prev_win,
+                jnp.float32(scan_start), self.imu_state, cfg)
+        elif k >= 2:
+            g_buf, a_buf = pi.imu_to_lidar(
+                jnp.asarray(ig), jnp.asarray(ia), cfg.imu)
 
         sin = driver.pad_scan(points, cfg, scan_start=scan_start)
         extra = {}
         if g_buf is not None:
-            extra["imu_time"] = jnp.asarray(it)
+            extra["imu_time"] = it_j
             extra["imu_gyro"] = g_buf
-            extra["imu_valid"] = jnp.asarray(iv)
+            extra["imu_valid"] = iv_j
         if guess is not None and self._last_pose6 is not None:
             extra["init_guess"] = guess
-            extra["init_guess_valid"] = jnp.bool_(True)
+            extra["init_guess_valid"] = win_ok
+            # positional deskew only once the velocity estimate is live
+            # (after the first bias/velocity refresh)
+            if self._prev_pre is not None and vel_body is not None:
+                extra["deskew_vel"] = vel_body
         if imu_rpy is not None:
             # absolute-orientation remap (imuConverter extRPY path,
             # utility.h:500-508) — distinct from the extRot rate rotation
@@ -204,7 +221,7 @@ class LioOdometry:
                 self.imu_state, self._fail_acc = _lio_poststep(
                     self.imu_state, pre, last6, pose6,
                     self._fail_acc, cfg)
-                self._v0 = jnp.zeros(3)
+                self._v0 = self.imu_state.v
             self._prev_pre = pre
             self._prev_pose6 = last6
             # sampled host readback of the STICKY latch: one D2H sync per
@@ -218,6 +235,12 @@ class LioOdometry:
                 R=se3.euler_to_rot(pose6[:3]),
                 p=pose6[3:],
             )
+        # stash this scan's window (lidar frame) for the next prestep
+        if g_buf is not None:
+            self._prev_win = (it_j, g_buf, a_buf, iv_j,
+                              jnp.float32(scan_start))
+        else:
+            self._prev_win = None
         self._last_pose6 = pose6
         self.diag.n_scans += 1
         return pose6

@@ -97,6 +97,15 @@ class ScanInput(NamedTuple):
     imu_gyro: jnp.ndarray  # (M, 3)
     imu_valid: jnp.ndarray  # (M,)
     scan_start: jnp.ndarray  # () absolute seconds
+    # accelerometer window — consumed by the fused LIO-SLAM step
+    # (pipeline/slam.py slam_step when cfg.imu.use_imu); the default shape
+    # matches the default ImuConfig.max_imu_per_scan=64
+    imu_accel: jnp.ndarray = jnp.zeros((64, 3))  # (M, 3)
+    # body-frame velocity at scan start for POSITIONAL deskew on the gyro
+    # path (the findPosition term the reference zeroes,
+    # laserProcessing.cpp:402-425); filled by the LIO chains from the
+    # nav-state velocity, zeros = rotation-only (reference behavior)
+    deskew_vel: jnp.ndarray = jnp.zeros(3)  # (3,)
     # optional external initial guess (IMU preintegration / fusion odometry;
     # updateInitialGuess cascade, odomEstimationNode.cpp:297-419)
     init_guess: jnp.ndarray = jnp.zeros(6)  # (6,)
@@ -137,7 +146,8 @@ def preprocess(scan: ScanInput, cfg: SlamConfig, return_ext: bool = False):
             scan.imu_time, scan.imu_gyro, scan.imu_valid, scan.scan_start
         )
         pts = deskew_ops.deskew_points(
-            pre.points[:, :3], pre.rel_time, info, pre.valid
+            pre.points[:, :3], pre.rel_time, info, pre.valid,
+            vel_body=scan.deskew_vel,
         )
     else:
         pts = pre.points[:, :3]

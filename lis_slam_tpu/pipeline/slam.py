@@ -42,14 +42,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import labels as L
 from ..config import SlamConfig
 from ..graph import pose_graph
+from ..imu import preintegration as pi
 from ..loop import epsc
 from ..mapping import submap as sm
 from ..ops import icp as icp_ops
 from ..ops import knn, scan_match, voxel
 from ..utils import profiling, se3, se3_np
 from . import odometry, semantic_odometry as semo, trajectory
+
+# Mean residual weight per super-category, w-bar = mean(2 - label_sorce)
+# over the category's learning classes. The merged submap class clouds carry
+# the CATEGORY only (the per-point learning class is consumed at keyframe
+# rate), so the stage-3 semantic weighting (subMapOptmizationNode.cpp:
+# 4556-4966, w = 2 - LabelSorce[label]) uses the category mean here —
+# documented deviation; the per-point weights of stages 1-2 are exact.
+_CAT_WEIGHT = tuple(
+    float(np.mean(L.RESIDUAL_WEIGHT[L.LEARNING_TO_CATEGORY == k]))
+    for k in range(len(L.CATEGORY_IDS))
+)
+# dense category indices in CATEGORY_IDS order
+_DYN, _GND, _BLD, _POLE, _OUT = range(5)
 
 
 class FusedState(NamedTuple):
@@ -62,6 +77,30 @@ class FusedState(NamedTuple):
     # own odometry stream, subMapOptmizationNode.cpp:896-1032)
     last_frontend: jnp.ndarray  # (6,)
     last_refined: jnp.ndarray  # (6,)
+    # --- IMU fusion state (cfg.imu.use_imu): the reference runs IMU
+    # preintegration factors INSIDE the back-end node that builds submaps
+    # (IMUPreintegration, subMapOptmizationNode.cpp:2007-2219) and feeds the
+    # fused odometry back to deskew (:3440-3462, consumed at
+    # laserProcessingNode.cpp:41-45); here the whole chain — preintegrate,
+    # predict-as-initial-guess, two-window bias/velocity MAP update, sticky
+    # failure latch — lives inside the ONE fused per-scan program. ---
+    imu: pi.ImuState | None = None
+    prev_pre: pi.PreintegratedImu | None = None  # interval [i-2, i-1]
+    imu_pose0: jnp.ndarray | None = None  # (6,) pose at prev window start
+    imu_v0: jnp.ndarray | None = None  # (3,) velocity estimate at pose0
+    imu_have_prev: jnp.ndarray | None = None  # () bool: prev_pre is live
+    imu_fail: jnp.ndarray | None = None  # () bool sticky failure latch
+    # raw PREVIOUS scan's IMU window (lidar frame): preintegrated at the
+    # NEXT step, clipped to the actual inter-scan interval — the window
+    # delivered with a scan covers its sweep+slack, but the delta that
+    # predicts the next pose must span exactly [t_{i-1}, t_i] (the
+    # reference integrates between consecutive odometry stamps,
+    # subMapOptmizationNode.cpp:2096-2118)
+    prev_imu_time: jnp.ndarray | None = None  # (M,)
+    prev_imu_gyro: jnp.ndarray | None = None  # (M, 3) lidar frame
+    prev_imu_accel: jnp.ndarray | None = None  # (M, 3) lidar frame
+    prev_imu_valid: jnp.ndarray | None = None  # (M,)
+    prev_scan_start: jnp.ndarray | None = None  # ()
 
 
 class StepOut(NamedTuple):
@@ -73,6 +112,7 @@ class StepOut(NamedTuple):
     is_keyframe: jnp.ndarray  # () bool
     converged: jnp.ndarray  # () bool
     degenerate: jnp.ndarray  # () bool
+    imu_fail: jnp.ndarray  # () bool sticky IMU failure latch (use_imu)
     # feature clouds (sensor frame) — computed every scan by the front end
     corner_xyz: jnp.ndarray
     corner_mask: jnp.ndarray
@@ -104,9 +144,104 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
     refinement, per-category keyframe clouds, and EPSC descriptors.
 
     The host never needs to know is_keyframe at dispatch time; it learns it
-    from the batched drain afterwards."""
+    from the batched drain afterwards.
+
+    When cfg.imu.use_imu, the IMU fusion chain runs INSIDE this same
+    program (the reference fuses IMU factors inside the node that builds
+    submaps, subMapOptmizationNode.cpp:2007-2219, and feeds the fused
+    odometry back to deskew :3440-3462): preintegrate the scan's window at
+    the current biases -> predicted pose becomes the initial guess (and the
+    lidar-frame gyro stream deskews) -> after the scan-to-map solve, the
+    covariance-weighted two-window bias/velocity MAP update + sticky
+    failure latch."""
+    use_lio = cfg.imu.use_imu and fstate.imu is not None
+    prev_pose_scan = fstate.odom.pose  # previous scan's pose (pose1)
+    pre = window_ok = not_first = None
+    if use_lio:
+        g_l, a_l = pi.imu_to_lidar(scan.imu_gyro, scan.imu_accel, cfg.imu)
+        # preintegrate the PREVIOUS scan's window CLIPPED to the actual
+        # inter-scan interval [t_{i-1}, t_i]: the delta that moves the nav
+        # state from pose_{i-1} to pose_i (the reference integrates between
+        # consecutive odometry stamps, subMapOptmizationNode.cpp:2096-2118)
+        pre = pi.preintegrate(
+            fstate.prev_imu_time, fstate.prev_imu_gyro,
+            fstate.prev_imu_accel, fstate.prev_imu_valid,
+            fstate.imu.bg, fstate.imu.ba, cfg.imu,
+            t0=fstate.prev_scan_start, t1=scan.scan_start)
+        pred = pi.predict(fstate.imu, pre, cfg.imu.gravity)
+        guess = jnp.concatenate(
+            [se3.rot_to_euler(pred.R), pred.p]).astype(jnp.float32)
+        window_ok = pre.count >= 1
+        not_first = fstate.odom.frame_idx > 0
+        scan = scan._replace(
+            imu_gyro=g_l,  # lidar-frame rates for the deskew integration
+            # positional deskew from the PREDICTED scan-start velocity (the
+            # findPosition term, zeroed in the reference for slow
+            # platforms): body-frame v at scan start; gated to zero until
+            # the velocity estimate is live (first update done)
+            deskew_vel=jnp.where(
+                fstate.imu_have_prev & window_ok,
+                (pred.R.T @ pred.v).astype(jnp.float32),
+                jnp.zeros(3, jnp.float32)),
+            init_guess=guess,
+            init_guess_valid=scan.init_guess_valid
+            | (window_ok & not_first),
+        )
     odom2, out, fc, ext = odometry._odom_step_impl(
         fstate.odom, scan, cfg, uniform=False)
+
+    # ---- IMU post-step: bias/velocity MAP update anchored on the new pose
+    # (velocity_bias_update2's two-window coupling — consecutive iSAM2
+    # ImuFactors share the velocity variable) + failure detection ----
+    imu_fields = {}
+    imu_fail_out = jnp.bool_(False)
+    if use_lio:
+        do_update = not_first & window_ok
+
+        def _upd(op):
+            imu, prev_pre, pose0, v0, have_prev = op
+
+            def two(_):
+                return pi.velocity_bias_update2(
+                    imu, prev_pre, pre, pose0, prev_pose_scan, out.pose,
+                    v0, cfg.imu)
+
+            def one(_):
+                st = pi.velocity_bias_update(
+                    imu, pre, prev_pose_scan, out.pose, cfg.imu)
+                # st.v is the window-mean velocity — the best available
+                # seed for the next two-window solve's v0_est
+                return st, st.v
+
+            return jax.lax.cond(have_prev, two, one, None)
+
+        def _anchor(op):
+            imu, *_ = op
+            st = imu._replace(
+                R=se3.euler_to_rot(out.pose[:3]), p=out.pose[3:])
+            return st, jnp.zeros(3)
+
+        new_imu, v1 = jax.lax.cond(
+            do_update, _upd, _anchor,
+            (fstate.imu, fstate.prev_pre, fstate.imu_pose0, fstate.imu_v0,
+             fstate.imu_have_prev))
+        fail = pi.failure_detection(new_imu.v, new_imu.bg, new_imu.ba)
+        imu_fail_out = fstate.imu_fail | (do_update & fail)
+        imu_fields = dict(
+            imu=new_imu,
+            prev_pre=pre,
+            imu_pose0=prev_pose_scan,
+            imu_v0=v1,
+            imu_have_prev=do_update,
+            imu_fail=imu_fail_out,
+            # stash the raw current window (lidar frame) — preintegrated at
+            # the next step, clipped to the realized inter-scan interval
+            prev_imu_time=scan.imu_time,
+            prev_imu_gyro=g_l,
+            prev_imu_accel=a_l,
+            prev_imu_valid=scan.imu_valid,
+            prev_scan_start=jnp.asarray(scan.scan_start, jnp.float32),
+        )
     with_sem = lab_mode != "none"
     qk = cfg.submap.keyframe_class_capacity
     R, S = cfg.loop.rings, cfg.loop.sectors
@@ -165,12 +300,14 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
         (fstate.sem, fstate.last_frontend, fstate.last_refined))
 
     new_state = FusedState(
-        odom=odom2, sem=sem2, last_frontend=lf2, last_refined=lr2)
+        odom=odom2, sem=sem2, last_frontend=lf2, last_refined=lr2,
+        **imu_fields)
     step_out = StepOut(
         pose=out.pose,
         refined=jnp.where(out.is_keyframe, lr2, out.pose),
         is_keyframe=out.is_keyframe,
         converged=out.converged, degenerate=out.degenerate,
+        imu_fail=imu_fail_out,
         corner_xyz=fc.corner_xyz, corner_mask=fc.corner_mask,
         surf_xyz=fc.surf_xyz, surf_mask=fc.surf_mask,
         surf_intensity=fc.surf_intensity,
@@ -185,14 +322,134 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
 
 
 @jax.jit
-def _pack_scalars(poses, refineds, kfs, convs, degens):
+def _pack_scalars(poses, refineds, kfs, convs, degens, fails):
     """Stack the drain scalars into ONE array so the batched readback is a
-    single D2H transfer: (K, 15) = pose6 | refined6 | is_kf, conv, degen."""
+    single D2H transfer: (K, 16) = pose6 | refined6 | is_kf, conv, degen,
+    imu_fail."""
     flags = jnp.stack(
-        [jnp.stack(kfs), jnp.stack(convs), jnp.stack(degens)], axis=1)
+        [jnp.stack(kfs), jnp.stack(convs), jnp.stack(degens),
+         jnp.stack(fails)], axis=1)
     return jnp.concatenate(
         [jnp.stack(poses), jnp.stack(refineds),
          flags.astype(jnp.float32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _imu_reset(fstate: FusedState, cfg: SlamConfig) -> FusedState:
+    """resetParams equivalent (failureDetection -> reinitialize,
+    subMapOptmizationNode.cpp:2153-2156, 2222-2238): re-anchor the nav
+    state at the current lidar pose with fresh biases/priors."""
+    pose = fstate.odom.pose
+    imu = pi.init_imu_state(cfg.imu)._replace(
+        R=se3.euler_to_rot(pose[:3]), p=pose[3:])
+    return fstate._replace(
+        imu=imu, imu_have_prev=jnp.bool_(False), imu_fail=jnp.bool_(False))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _register_submaps_geo(prev_corner, prev_corner_mask, prev_surf,
+                          prev_surf_mask, cur_corner, cur_corner_mask,
+                          cur_surf, cur_surf_mask, T_cur, lo, hi, cfg):
+    """Geometric submap-to-submap registration as ONE device program
+    (extractSubMapCloud + subMap2SubMapOptimization, subMapOptmizationNode.
+    cpp:3976-4081, 4485-4540). The round-3 host-side version dispatched the
+    same math op-by-op (no jit) — ~5.3 s/call of eager round-trips on the
+    tunneled TPU; this wrapper is one async dispatch."""
+    pc_mask = sm.bbox_mask(prev_corner, prev_corner_mask, lo, hi)
+    ps_mask = sm.bbox_mask(prev_surf, prev_surf_mask, lo, hi)
+    cc_mask = sm.bbox_mask(cur_corner, cur_corner_mask, lo, hi)
+    cs_mask = sm.bbox_mask(cur_surf, cur_surf_mask, lo, hi)
+    Ti = se3.transform_inverse(T_cur)
+    # matched-source downsample (the reference matches the voxel-DS submap
+    # cloud, not the raw merge) — also compacts the query buffers from
+    # submap capacity (64k/128k) to the matched capacities
+    c_src, c_m, _ = voxel.voxel_downsample(
+        se3.transform_points(Ti, cur_corner), cc_mask,
+        cfg.voxel.submap_corner_leaf, cfg.submap.matched_corner_capacity)
+    s_src, s_m, _ = voxel.voxel_downsample(
+        se3.transform_points(Ti, cur_surf), cs_mask,
+        cfg.submap.refine_surf_leaf, cfg.submap.matched_surf_capacity)
+    gn = scan_match.scan_to_map(
+        se3.matrix_to_pose(T_cur), c_src, c_m, s_src, s_m,
+        prev_corner, pc_mask, prev_surf, ps_mask,
+        cfg.matching, cfg.matching.max_iterations_submap2submap,
+    )
+    return se3.pose_to_matrix(gn.pose)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _register_submaps_sem(prev_class_xyz, prev_class_mask, cur_class_xyz,
+                          cur_class_mask, T_cur, lo, hi, cfg):
+    """Semantic-weighted submap-to-submap registration (the reference's
+    THIRD LOAM copy, subMapOptmizationNode.cpp:4556-4966): corner features =
+    pole class, surf = dynamic+ground+building, residuals weighted by the
+    per-category w-bar (_CAT_WEIGHT). One device program per call."""
+    # target: previous submap's per-class clouds, bbox-cropped
+    t_corner = prev_class_xyz[_POLE]
+    t_corner_m = sm.bbox_mask(t_corner, prev_class_mask[_POLE], lo, hi)
+    t_surf = jnp.concatenate(
+        [prev_class_xyz[_DYN], prev_class_xyz[_GND], prev_class_xyz[_BLD]], 0)
+    t_surf_m = sm.bbox_mask(
+        t_surf,
+        jnp.concatenate([prev_class_mask[_DYN], prev_class_mask[_GND],
+                         prev_class_mask[_BLD]], 0),
+        lo, hi)
+    # re-morton the concatenated target so the kNN kernel's tile AABBs stay
+    # spatially compact (each class buffer is only sorted within itself)
+    t_surf, t_surf_m, _ = scan_match._morton_sort_queries(
+        t_surf, t_surf_m, None)
+
+    # source: current submap's class clouds in its own frame + per-category
+    # weights riding the downsample
+    Ti = se3.transform_inverse(T_cur)
+    cc_mask = sm.bbox_mask(cur_class_xyz[_POLE], cur_class_mask[_POLE],
+                           lo, hi)
+    c_src0 = se3.transform_points(Ti, cur_class_xyz[_POLE])
+    c_w0 = jnp.full(c_src0.shape[0], _CAT_WEIGHT[_POLE], jnp.float32)
+    s_all = jnp.concatenate(
+        [cur_class_xyz[_DYN], cur_class_xyz[_GND], cur_class_xyz[_BLD]], 0)
+    cs_mask = sm.bbox_mask(
+        s_all,
+        jnp.concatenate([cur_class_mask[_DYN], cur_class_mask[_GND],
+                         cur_class_mask[_BLD]], 0),
+        lo, hi)
+    s_src0 = se3.transform_points(Ti, s_all)
+    qk = cur_class_xyz.shape[1]
+    s_w0 = jnp.concatenate([
+        jnp.full(qk, _CAT_WEIGHT[_DYN], jnp.float32),
+        jnp.full(qk, _CAT_WEIGHT[_GND], jnp.float32),
+        jnp.full(qk, _CAT_WEIGHT[_BLD], jnp.float32),
+    ])
+    c_src, c_m, _, c_w = voxel.voxel_downsample(
+        c_src0, cc_mask, cfg.voxel.submap_corner_leaf,
+        cfg.submap.matched_corner_capacity, payloads=(c_w0,))
+    s_src, s_m, _, s_w = voxel.voxel_downsample(
+        s_src0, cs_mask, cfg.submap.refine_surf_leaf,
+        cfg.submap.matched_surf_capacity, payloads=(s_w0,))
+    gn = scan_match.scan_to_map(
+        se3.matrix_to_pose(T_cur), c_src, c_m, s_src, s_m,
+        t_corner, t_corner_m, t_surf, t_surf_m,
+        cfg.matching, cfg.matching.max_iterations_submap2submap,
+        corner_sem_weight=c_w, surf_sem_weight=s_w,
+    )
+    return se3.pose_to_matrix(gn.pose)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _verify_loop_device(kf_surf, kf_mask, tgt_xyz, tgt_mask, T_init,
+                        max_iterations):
+    """Loop ICP verification as ONE device program: hash build + seeded
+    point-to-plane ICP (detectLoopClosureForSubMap, subMapOptmizationNode.
+    cpp:2739-2916). `tgt_xyz` is the submap's merged SEMANTIC cloud when
+    semantics flow (the reference verifies against the submap's merged
+    labeled cloud, subMap.h:435-664), else its surf cloud."""
+    th = knn.build_hash(tgt_xyz, tgt_mask, cell_size=1.0,
+                        table_size=1 << 15)
+    return icp_ops.icp(
+        kf_surf, kf_mask, tgt_xyz, th, T_init,
+        max_correspond_dist=2.0, max_iterations=max_iterations,
+        point_to_plane=True,
+    )
 
 
 @dataclass
@@ -235,12 +492,33 @@ class SemanticSlam:
             from ..viz.debug import DebugDumper
 
             self.debug = DebugDumper(debug_dir)
+        imu_fields = {}
+        if cfg.imu.use_imu:
+            m = cfg.imu.max_imu_per_scan
+            zero_pre = pi.preintegrate(
+                jnp.zeros(m), jnp.zeros((m, 3)), jnp.zeros((m, 3)),
+                jnp.zeros(m, bool), jnp.zeros(3), jnp.zeros(3), cfg.imu)
+            imu_fields = dict(
+                imu=pi.init_imu_state(cfg.imu),
+                prev_pre=zero_pre,
+                imu_pose0=jnp.zeros(6, jnp.float32),
+                imu_v0=jnp.zeros(3, jnp.float32),
+                imu_have_prev=jnp.bool_(False),
+                imu_fail=jnp.bool_(False),
+                prev_imu_time=jnp.zeros(m, jnp.float32),
+                prev_imu_gyro=jnp.zeros((m, 3), jnp.float32),
+                prev_imu_accel=jnp.zeros((m, 3), jnp.float32),
+                prev_imu_valid=jnp.zeros(m, bool),
+                prev_scan_start=jnp.float32(0.0),
+            )
         self.fstate = FusedState(
             odom=odometry.init_state(cfg),
             sem=semo.init_state(cfg),
             last_frontend=jnp.zeros(6, jnp.float32),
             last_refined=jnp.zeros(6, jnp.float32),
+            **imu_fields,
         )
+        self.n_imu_resets = 0
         self.loop_detector = epsc.LoopDetector(cfg.loop)
         self.collector = sm.SubMapCollector(cfg.submap)
         self.graph = pose_graph.GraphBuilder(
@@ -281,6 +559,10 @@ class SemanticSlam:
         self.kf_scan_ids: list[int] = []
         self.loops: list[tuple[int, int, np.ndarray, float]] = []  # kf i,j
         self._n_loop_factors = 0  # actual loop factors added to the graph
+        # submap pairs that already hold a loop factor (or have one in
+        # flight): the reference dedups candidate loops against existing
+        # pairs BEFORE verification (subMapOptmizationNode.cpp:2431-2476)
+        self._loop_pairs: set[tuple[int, int]] = set()
         self._scan_idx = 0
         self._zeros_lab = jnp.zeros(cfg.sensor.max_raw_points, jnp.int32)
         # ---- deferred pipeline queues ----
@@ -319,7 +601,11 @@ class SemanticSlam:
     # ------------------------------------------------------------------
     def process_scan(self, scan: odometry.ScanInput,
                      gt_labels: np.ndarray | None = None,
-                     timestamp: float | None = None) -> jnp.ndarray:
+                     timestamp: float | None = None,
+                     imu_time: np.ndarray | None = None,
+                     imu_gyro: np.ndarray | None = None,
+                     imu_accel: np.ndarray | None = None,
+                     imu_rpy: np.ndarray | None = None) -> jnp.ndarray:
         """Feed one scan; returns the (device-resident) odometry pose6 —
         materialize with np.asarray if needed on the host.
 
@@ -329,9 +615,37 @@ class SemanticSlam:
         Labels for the semantic stages come from `gt_labels` when provided
         (synthetic ground truth / an external segmentation stream), else
         from on-device RangeNet inference at keyframe rate
-        (semanticFusionNode.cpp:139-170)."""
+        (semanticFusionNode.cpp:139-170).
+
+        With cfg.imu.use_imu, pass the scan's IMU window
+        (`imu_time/imu_gyro/imu_accel`, raw IMU frame, absolute seconds;
+        optional `imu_rpy` orientation at scan start): the fused step then
+        runs the full LIO chain — preintegrated initial guess, gyro deskew,
+        two-window bias/velocity update, failure latch — inside the same
+        device program (IMUPreintegration, subMapOptmizationNode.cpp:
+        2007-2219 + odometry/fusion feedback :3440-3462)."""
         t = (timestamp if timestamp is not None
              else self._scan_idx * self.cfg.sensor.scan_period)
+        if self.cfg.imu.use_imu and imu_time is not None and len(imu_time):
+            m = self.cfg.imu.max_imu_per_scan
+            k = min(len(imu_time), m)
+            it = np.zeros(m, np.float32)
+            ig = np.zeros((m, 3), np.float32)
+            ia = np.zeros((m, 3), np.float32)
+            ia[:, 2] = self.cfg.imu.gravity  # neutral accel for padded slots
+            it[:k] = imu_time[:k]
+            ig[:k] = imu_gyro[:k]
+            ia[:k] = imu_accel[:k]
+            extra = dict(
+                imu_time=jnp.asarray(it), imu_gyro=jnp.asarray(ig),
+                imu_accel=jnp.asarray(ia),
+                imu_valid=jnp.asarray(np.arange(m) < k),
+            )
+            if imu_rpy is not None:
+                rpy = pi.remap_imu_orientation(imu_rpy, self.cfg.imu)
+                extra["imu_rpy"] = jnp.asarray(rpy, jnp.float32)
+                extra["imu_rpy_valid"] = jnp.bool_(True)
+            scan = scan._replace(**extra)
         if gt_labels is not None:
             buf = np.zeros(self.cfg.sensor.max_raw_points, np.int32)
             buf[: min(len(gt_labels), len(buf))] = np.asarray(
@@ -386,7 +700,8 @@ class SemanticSlam:
                 [p.out.refined for p in pend],
                 [p.out.is_keyframe for p in pend],
                 [p.out.converged for p in pend],
-                [p.out.degenerate for p in pend])
+                [p.out.degenerate for p in pend],
+                [p.out.imu_fail for p in pend])
         if loop_pend:
             fetch[1] = [res for (_kf, _ids, res) in loop_pend]
         if verify_pend:
@@ -432,6 +747,9 @@ class SemanticSlam:
                 self.collector.submaps[k].pose_opt = opt[k]
 
         # ---- consume submap-to-submap registrations -> odom factors ----
+        # Every new factor triggers a (async) global optimize below — the
+        # reference updates iSAM2 on every saveSubMapAndFactor
+        # (subMapOptmizationNode.cpp:4084-4185); there is no skip cadence.
         any_factor = False
         if sub_pend:
             for (i, j, prev_init, cur_init, fallback, _dev), fetched in zip(
@@ -447,7 +765,7 @@ class SemanticSlam:
                     else:
                         z = np.linalg.inv(prev_init) @ refined
                 self.graph.add_odom_edge(i, j, z)
-                any_factor = any_factor or (j % 5 == 0)
+                any_factor = True
 
         # ---- consume verified loops (dispatched 2 drains ago) ----
         if verify_pend:
@@ -472,12 +790,14 @@ class SemanticSlam:
                     self._dispatch_verify(kf_i, cand)
 
         # ---- per-scan bookkeeping ----
+        imu_failed = False
         for row, p in zip(
                 scalars if pend else [], pend):
             pose6 = np.asarray(row[:6])
             refined6 = np.asarray(row[6:12])
             is_kf, conv, _deg = bool(row[12] > 0.5), bool(
                 row[13] > 0.5), bool(row[14] > 0.5)
+            imu_failed = imu_failed or bool(row[15] > 0.5)
             if self.pose_hook is not None:
                 hooked = np.asarray(self.pose_hook(pose6, p.idx),
                                     dtype=pose6.dtype)
@@ -490,6 +810,14 @@ class SemanticSlam:
             if is_kf:
                 with self.timer.stage("keyframe"):
                     self._on_keyframe(p, pose6, refined6)
+
+        # ---- IMU failure reset (the sticky latch caught a divergence on
+        # some scan of this drain window): resetParams equivalent, one
+        # async dispatch, no sync (failureDetection,
+        # subMapOptmizationNode.cpp:2222-2238) ----
+        if imu_failed and self.cfg.imu.use_imu:
+            self.fstate = _imu_reset(self.fstate, self.cfg)
+            self.n_imu_resets += 1
 
         # ---- loop factors + (async) global optimize: dispatched here,
         # installed at the NEXT drain (the reference's 1 Hz
@@ -555,30 +883,49 @@ class SemanticSlam:
                 self._on_submap(finished)
 
     # ------------------------------------------------------------------
+    def _loop_pair_key(self, kf_i: int, kf_j: int) -> tuple[int, int]:
+        """Submap-pair dedup key. A keyframe whose submap hasn't closed yet
+        belongs to the OPEN submap (= next index): collector._cur_kfs holds
+        it, so its eventual submap_id is len(submaps)."""
+        si = self.keyframes[kf_i].submap_id
+        sj = self.keyframes[kf_j].submap_id
+        if si < 0:
+            si = len(self.collector.submaps)
+        if sj < 0:
+            sj = len(self.collector.submaps)
+        return (min(si, sj), max(si, sj))
+
     def _dispatch_verify(self, kf_index: int, cand: epsc.LoopCandidate):
         """detectLoopClosureForSubMap (subMapOptmizationNode.cpp:2739-2916):
         ICP of the keyframe cloud against the candidate keyframe's submap
-        cloud, seeded with the descriptor transform; dispatched async, the
-        fitness gate is applied when the result drains."""
+        cloud, seeded with the descriptor transform; dispatched async (ONE
+        jitted program), the fitness gate is applied when the result drains.
+
+        Candidates whose submap pair already holds a loop factor are skipped
+        (the reference dedups against existing pairs before verification,
+        :2431-2476). The target is the submap's merged SEMANTIC cloud when
+        semantics flow (the reference verifies against the merged labeled
+        cloud, subMap.h:435-664), else its surf cloud."""
         cfg = self.cfg
         kf = self.keyframes[kf_index]
         match_kf = self.keyframes[cand.matched_id]
         if match_kf.submap_id < 0 or match_kf.submap_id >= len(
                 self.collector.submaps):
             return
+        if self._loop_pair_key(kf_index, cand.matched_id) in self._loop_pairs:
+            return
         target = self.collector.submaps[match_kf.submap_id]
         T_init = match_kf.pose_init @ cand.transform
         with self.timer.stage("loop_verify"):
-            th = knn.build_hash(
-                target.surf_xyz, target.surf_mask, cell_size=1.0,
-                table_size=1 << 15,
-            )
-            res = icp_ops.icp(
-                kf.surf_xyz, kf.surf_mask, target.surf_xyz, th,
+            if target.class_xyz is not None:
+                tgt_xyz = target.class_xyz.reshape(-1, 3)
+                tgt_mask = target.class_mask.reshape(-1)
+            else:
+                tgt_xyz, tgt_mask = target.surf_xyz, target.surf_mask
+            res = _verify_loop_device(
+                kf.surf_xyz, kf.surf_mask, tgt_xyz, tgt_mask,
                 jnp.asarray(T_init.astype(np.float32)),
-                max_correspond_dist=2.0,
-                max_iterations=cfg.loop.icp_max_iterations,
-                point_to_plane=True,
+                cfg.loop.icp_max_iterations,
             )
         self._pending_verify.append((kf_index, cand.matched_id, res))
 
@@ -589,10 +936,11 @@ class SemanticSlam:
         4485-4540): refine the relative transform between consecutive
         submaps inside their bbox intersection (<=30 iterations).
 
-        Dispatch-only: returns the DEVICE pose6 of the refined current
-        submap pose (or None when the bboxes don't intersect); the odom
-        factor z = T_prev^-1 @ T_cur_refined is formed when the result is
-        fetched at the next drain."""
+        Dispatch-only: ONE jitted device program (semantic-weighted when
+        both submaps carry class clouds, geometric otherwise); returns the
+        DEVICE refined pose matrix (or None when the bboxes don't
+        intersect). The odom factor z = T_prev^-1 @ T_cur_refined is formed
+        when the result is fetched at the next drain."""
         cfg = self.cfg
         # bbox intersection crop (reference crops both clouds)
         pb, cb = prev.get_bbox(), cur.get_bbox()
@@ -603,23 +951,15 @@ class SemanticSlam:
         if np.any(lo >= hi):
             return None
         lo_j, hi_j = jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
-        pc_mask = sm.bbox_mask(prev.corner_xyz, prev.corner_mask, lo_j, hi_j)
-        ps_mask = sm.bbox_mask(prev.surf_xyz, prev.surf_mask, lo_j, hi_j)
-        cc_mask = sm.bbox_mask(cur.corner_xyz, cur.corner_mask, lo_j, hi_j)
-        cs_mask = sm.bbox_mask(cur.surf_xyz, cur.surf_mask, lo_j, hi_j)
-
-        # express current submap's points in its own frame; optimize its pose
         T_cur = jnp.asarray(cur.pose_init.astype(np.float32))
-        Ti = se3.transform_inverse(T_cur)
-        cur_c_local = se3.transform_points(Ti, cur.corner_xyz)
-        cur_s_local = se3.transform_points(Ti, cur.surf_xyz)
-        pose0 = se3.matrix_to_pose(T_cur)
-        gn = scan_match.scan_to_map(
-            pose0, cur_c_local, cc_mask, cur_s_local, cs_mask,
-            prev.corner_xyz, pc_mask, prev.surf_xyz, ps_mask,
-            cfg.matching, cfg.matching.max_iterations_submap2submap,
-        )
-        return se3.pose_to_matrix(gn.pose)
+        if prev.class_xyz is not None and cur.class_xyz is not None:
+            return _register_submaps_sem(
+                prev.class_xyz, prev.class_mask, cur.class_xyz,
+                cur.class_mask, T_cur, lo_j, hi_j, cfg)
+        return _register_submaps_geo(
+            prev.corner_xyz, prev.corner_mask, prev.surf_xyz, prev.surf_mask,
+            cur.corner_xyz, cur.corner_mask, cur.surf_xyz, cur.surf_mask,
+            T_cur, lo_j, hi_j, cfg)
 
     # ------------------------------------------------------------------
     def _on_submap(self, finished: sm.SubMap):
@@ -638,7 +978,9 @@ class SemanticSlam:
 
     def _flush_loop_factors(self) -> bool:
         """Add pending verified loops whose submaps both exist; returns
-        whether any factor was added (addLoopFactor :4304-4342)."""
+        whether any factor was added (addLoopFactor :4304-4342). At most ONE
+        factor per submap pair (the reference's loop dedup,
+        subMapOptmizationNode.cpp:2431-2476)."""
         gb = self.graph
         new_loops = []
         added = False
@@ -648,6 +990,10 @@ class SemanticSlam:
             if si < 0 or sj < 0:
                 new_loops.append((kf_i, kf_j, T_kf_world, fit))
                 continue
+            pair = (min(si, sj), max(si, sj))
+            if pair in self._loop_pairs:
+                continue
+            self._loop_pairs.add(pair)
             # relative submap measurement via the ICP-verified keyframe pose
             sub_i = self.collector.submaps[si]
             sub_j = self.collector.submaps[sj]

@@ -29,7 +29,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     all degrade to cold compiles, never to an error).
     """
     env = os.environ.get("LIS_COMPILE_CACHE")
-    if env is not None and env.strip() in ("", "0", "off", "none"):
+    if env is not None and env.strip().lower() in ("", "0", "off", "none",
+                                                   "false", "disabled"):
         return None
     d = cache_dir or env or DEFAULT_DIR
     try:
@@ -37,12 +38,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", d)
-        # cache every program, however small/fast it compiled: the win here
-        # is the tunnel round-trip, not local compile CPU time
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        return d
-    except Exception:  # pragma: no cover - old jaxlib knob names
+    except Exception:  # pragma: no cover - old jaxlib knob names / RO fs
         try:
             from jax.experimental.compilation_cache import compilation_cache
 
@@ -50,3 +46,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
             return d
         except Exception:
             return None
+    # cache every program, however small/fast it compiled: the win here is
+    # the tunnel round-trip, not local compile CPU time. Each knob is
+    # optional (older jaxlib may lack it); a missing knob must not discard
+    # the successfully-set cache dir above.
+    for knob, val in (
+        ("jax_persistent_cache_min_compile_time_secs", 0.0),
+        ("jax_persistent_cache_min_entry_size_bytes", -1),
+    ):
+        try:
+            jax.config.update(knob, val)
+        except Exception:  # pragma: no cover - knob absent in old jaxlib
+            pass
+    return d

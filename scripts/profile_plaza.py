@@ -22,8 +22,6 @@ from lis_slam_tpu.runtime.compile_cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-import functools
-
 import jax.numpy as jnp
 
 from lis_slam_tpu.config import SlamConfig, SensorConfig
@@ -39,7 +37,7 @@ def main():
     P = 65536
     cfg = SlamConfig().replace(sensor=SensorConfig(max_raw_points=P))
 
-    @functools.partial(jax.jit)
+    @jax.jit
     def prep(pts, lbl, val):
         ring, ok = _pre.compute_ring(pts, val, cfg.sensor.n_scan)
         keep = ok & (ring % cfg.sensor.downsample_rate == 0)

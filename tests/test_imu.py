@@ -133,7 +133,7 @@ def test_velocity_bias_update_consistency():
     pose_new = jnp.asarray(np.concatenate([[0, 0, 0], p1]), dtype=jnp.float32)
     st = pi.ImuState(R=jnp.eye(3), v=jnp.zeros(3), p=jnp.zeros(3),
                      bg=jnp.zeros(3), ba=jnp.zeros(3))
-    out = pi.velocity_bias_update(st, pre, pose_prev, pose_new, cfg.gravity)
+    out = pi.velocity_bias_update(st, pre, pose_prev, pose_new, cfg)
     np.testing.assert_allclose(np.asarray(out.v), v0, atol=2e-2)
 
 
@@ -158,7 +158,9 @@ def test_closed_form_bias_refresh_vs_batch_solve():
     from lis_slam_tpu.utils import se3
 
     rng = np.random.default_rng(4)
-    cfg = ImuConfig(use_imu=True)
+    # anchor sigma = the 0.002 rad noise actually injected below: the
+    # whitened MAP update is given the TRUE measurement covariances
+    cfg = ImuConfig(use_imu=True, pose_anchor_rot_sigma=0.002)
     bg_true = np.array([0.02, -0.015, 0.01])
     n_windows = 200
     hz, per_win = 100.0, 10
@@ -234,7 +236,7 @@ def test_closed_form_bias_refresh_vs_batch_solve():
             Rotation.from_matrix(Rs_meas[w + 1]).as_euler("xyz"), np.zeros(3)])
         state = pi.velocity_bias_update(
             state, pre_b, jnp.asarray(pose_prev, jnp.float32),
-            jnp.asarray(pose_new, jnp.float32), cfg.gravity)
+            jnp.asarray(pose_new, jnp.float32), cfg)
     bg_closed = np.asarray(state.bg)
 
     err_batch = np.linalg.norm(bg_batch - bg_true)

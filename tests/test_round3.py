@@ -27,12 +27,13 @@ def test_accel_bias_recovery():
     bias LSQ in velocity_bias_update (matching the reference's iSAM2 bias
     estimation, subMapOptmizationNode.cpp:2007-2219) must recover the bias
     to < 20% from the lidar pose anchor, under measurement noise."""
-    cfg = ImuConfig(use_imu=True)
+    # the test's pose anchors are EXACT (zero6): tell the covariance-
+    # weighted update so — tight anchor sigmas are the true noise here
+    cfg = ImuConfig(use_imu=True, pose_anchor_rot_sigma=1e-3,
+                    pose_anchor_pos_sigma=1e-3)
     rng = np.random.default_rng(0)
     ba_true = np.array([0.15, -0.10, 0.05], np.float32)
-    state = pi.ImuState(
-        R=jnp.eye(3), v=jnp.zeros(3), p=jnp.zeros(3),
-        bg=jnp.zeros(3), ba=jnp.zeros(3))
+    state = pi.init_imu_state(cfg)
     m = cfg.max_imu_per_scan
     n_samp = 11
     zero6 = jnp.zeros(6, jnp.float32)
@@ -50,10 +51,10 @@ def test_accel_bias_recovery():
             jnp.asarray(valid), state.bg, state.ba, cfg)
         if prev_pre is None:
             state = pi.velocity_bias_update(
-                state, pre, zero6, zero6, cfg.gravity)
+                state, pre, zero6, zero6, cfg)
         else:
             state, v0 = pi.velocity_bias_update2(
-                state, prev_pre, pre, zero6, zero6, zero6, v0, cfg.gravity)
+                state, prev_pre, pre, zero6, zero6, zero6, v0, cfg)
         prev_pre = pre
     ba_est = np.asarray(state.ba)
     rel_err = np.linalg.norm(ba_est - ba_true) / np.linalg.norm(ba_true)
