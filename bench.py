@@ -290,6 +290,66 @@ def main():
     except Exception as e:  # pragma: no cover - bench resilience
         slam_err += f"lio: {e}; "
 
+    # ---- full-size darknet53 RangeNet++ (the RELEASED architecture:
+    # blocks 1,2,8,8,4 / widths 64..1024) at the reference's operating
+    # point 64 x 2048 x 5 batch-1 (netTensorRT.cpp:309-440, net.cpp:89-91).
+    # Random-initialized weights measure the same compute as the released
+    # checkpoint (zero egress blocks the weights, not the FLOPs). ----
+    dk_ms = 0.0
+    dk_params_m = 0.0
+    slam_infer_sps = 0.0
+    try:
+        if not budget_left():
+            raise TimeoutError("bench budget exhausted")
+        import dataclasses as _dc3
+
+        from lis_slam_tpu.models import rangenet
+
+        sem_cfg = _dc3.replace(cfg.semantic, enabled=True)
+        dk_model = rangenet.create_model(sem_cfg)
+        img = jnp.zeros((1, sem_cfg.model_input_h, sem_cfg.model_input_w,
+                         sem_cfg.model_input_c), jnp.float32)
+        dk_vars = jax.jit(lambda: dk_model.init(
+            jax.random.PRNGKey(0), img, train=False))()
+        dk_params_m = round(sum(
+            x.size for x in jax.tree_util.tree_leaves(dk_vars)) / 1e6, 1)
+
+        @jax.jit
+        def dk_fwd(v, x):
+            return dk_model.apply(v, x, train=False)
+
+        o = dk_fwd(dk_vars, img)
+        jax.device_get(o[0, 0, 0])  # sync (see axon note above)
+        n_inf = 20
+        t0 = time.perf_counter()
+        for k in range(n_inf):
+            # vary the input so the relay cannot serve a cached result
+            o = dk_fwd(dk_vars, img + jnp.float32(k) * 1e-3)
+        jax.device_get(o[0, 0, 0])
+        dk_ms = (time.perf_counter() - t0) / n_inf * 1e3
+
+        # ---- full SLAM with ON-DEVICE full-size inference at keyframe
+        # rate (lab_mode="infer": RangeNet runs INSIDE the fused per-scan
+        # program's keyframe branch; semanticFusionNode.cpp:139-170) ----
+        if budget_left() and slam_sps:
+            scfg = cfg.replace(semantic=sem_cfg)
+            n_inf_scans = min(40, n_sys)
+
+            def run_slam_infer():
+                system = slam_mod.SemanticSlam(scfg, rangenet_params=dk_vars)
+                system.process_scan(sys_scans[0])
+                t0 = time.perf_counter()
+                for i in range(1, n_inf_scans):
+                    system.process_scan(sys_scans[i], timestamp=i * 0.1)
+                system.flush_pipeline()
+                jax.device_get(system.state.pose)
+                return (n_inf_scans - 1) / (time.perf_counter() - t0)
+
+            run_slam_infer()  # warmup/compile
+            slam_infer_sps = run_slam_infer()
+    except Exception as e:  # pragma: no cover
+        slam_err += f"darknet53: {e}; "
+
     # ---- accuracy mode: reference-faithful voxel-uniform matched clouds
     # (match_source="full_ds") — trades ~40% throughput for ~2.5x lower
     # ATE (see docs/PERF.md). Reported as an extra; the headline number
@@ -336,6 +396,9 @@ def main():
             "full_slam_stage_total_ms": slam_stage_ms,
             "lio_full_slam_scans_per_sec": round(lio_slam_sps, 2),
             "lio_full_slam_imu_resets": lio_slam_resets,
+            "darknet53_ms_per_inference": round(dk_ms, 2),
+            "darknet53_params_m": dk_params_m,
+            "full_slam_infer_scans_per_sec": round(slam_infer_sps, 2),
             "sys_scans": n_sys,
             "device": str(jax.devices()[0]),
             **({"sys_err": slam_err} if slam_err else {}),

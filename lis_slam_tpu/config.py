@@ -180,6 +180,15 @@ class MatchingConfig:
     # voxel-hash NN parameters
     hash_table_slots: int = 1 << 15
     hash_bucket_size: int = 16
+    # scan_to_map neighbor-cache size (candidates fetched per query by the
+    # Pallas kNN and re-ranked each GN iteration) and the pose-drift
+    # thresholds that trigger a fresh search. The kernel's per-tile cost is
+    # k sequential extraction passes, so cache_k is a direct speed lever;
+    # 8 keeps a 3-candidate margin over the 5 consumed (measured
+    # ATE-neutral on the 60-scan circuit, ~7% step speedup vs 10).
+    nn_cache_k: int = 8
+    nn_cache_refresh_dist: float = 0.3
+    nn_cache_refresh_rot: float = 0.05
     # back-end degenerate-solve ICP fallback (icpAlignment,
     # subMapOptmizationNode.cpp:1435-1507)
     icp_fallback: bool = True

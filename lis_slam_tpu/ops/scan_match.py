@@ -244,9 +244,9 @@ def scan_to_map(
     max_iterations: int,
     corner_sem_weight: jnp.ndarray | None = None,
     surf_sem_weight: jnp.ndarray | None = None,
-    cache_k: int = 10,
-    cache_refresh_dist: float = 0.3,
-    cache_refresh_rot: float = 0.05,
+    cache_k: int | None = None,
+    cache_refresh_dist: float | None = None,
+    cache_refresh_rot: float | None = None,
 ) -> GNState:
     """Full scan-to-map optimization (scan2SubMapOptimization rebuild).
 
@@ -264,6 +264,12 @@ def scan_to_map(
     """
     from . import pallas_knn
 
+    if cache_k is None:
+        cache_k = cfg.nn_cache_k
+    if cache_refresh_dist is None:
+        cache_refresh_dist = cfg.nn_cache_refresh_dist
+    if cache_refresh_rot is None:
+        cache_refresh_rot = cfg.nn_cache_refresh_rot
     corner_pts, corner_mask, corner_sem_weight = _morton_sort_queries(
         corner_pts, corner_mask, corner_sem_weight)
     surf_pts, surf_mask, surf_sem_weight = _morton_sort_queries(
@@ -356,7 +362,7 @@ def scan_to_map_scheduled(
     refresh_iters: tuple[int, ...] = (2, 5),
     corner_sem_weight: jnp.ndarray | None = None,
     surf_sem_weight: jnp.ndarray | None = None,
-    cache_k: int = 10,
+    cache_k: int | None = None,
 ) -> GNState:
     """Cond-free scan-to-map optimization with a STATIC refresh schedule.
 
@@ -371,6 +377,8 @@ def scan_to_map_scheduled(
     """
     from . import pallas_knn
 
+    if cache_k is None:
+        cache_k = cfg.nn_cache_k
     corner_pts, corner_mask, corner_sem_weight = _morton_sort_queries(
         corner_pts, corner_mask, corner_sem_weight)
     surf_pts, surf_mask, surf_sem_weight = _morton_sort_queries(
