@@ -247,18 +247,24 @@ def main():
     sps_batched = 0.0
     if B > 0 and budget_left():
         n_b = min(24, n_scans)
+        kf_every = max(1, cfg.runtime.batched_kf_every)
+        allow = lambda i: i % kf_every == 0
         bstates = pb.batched_init_state(cfg, B)
         stack = lambda sin: jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), sin)
         bscans = [stack(s) for s in padded[:n_b]]
-        bstates, bout = pb.batched_odom_step(bstates, bscans[0], cfg)
+        # warmup compiles BOTH step programs (merge / merge-free)
+        for i in range(min(2, n_b)):
+            bstates, bout = pb.batched_odom_step(
+                bstates, bscans[i], cfg, allow_kf=allow(i))
         jax.device_get(bout.pose)
         tb = time.perf_counter()
-        for bs in bscans[1:]:
-            bstates, bout = pb.batched_odom_step(bstates, bs, cfg)
+        for i in range(2, n_b):
+            bstates, bout = pb.batched_odom_step(
+                bstates, bscans[i], cfg, allow_kf=allow(i))
         jax.device_get(bout.pose)
         wall_b = time.perf_counter() - tb
-        sps_batched = B * (n_b - 1) / wall_b
+        sps_batched = B * (n_b - 2) / wall_b
 
     # ---- config 2: LIO (IMU preintegration + fusion) ----
     try:

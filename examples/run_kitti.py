@@ -48,15 +48,14 @@ def main():
     ap.add_argument("--preset", default="kitti", choices=sorted(PRESETS))
     ap.add_argument("--max-scans", type=int, default=0)
     ap.add_argument("--save-map", default="")
-    ap.add_argument("--match-source", default="sharp",
-                    choices=("sharp", "full_ds", "hybrid"),
-                    help="matched clouds: sharp features (production "
-                         "default — with the first-anchored voxel map it "
-                         "is both the fastest AND the most accurate mode, "
-                         "docs/PERF.md round 3), full_ds (reference-"
+    ap.add_argument("--match-source", default="",
+                    choices=("", "sharp", "full_ds", "hybrid"),
+                    help="matched clouds: hybrid (production default — "
+                         "sharp corners + voxel-uniform full surf; fastest "
+                         "AND most accurate, docs/PERF.md round 4), sharp "
+                         "(feature subsets only), or full_ds (reference-"
                          "faithful currentCloudInit: voxel-DS of the full "
-                         "clouds), or hybrid (sharp corners + voxel-"
-                         "uniform full surf)")
+                         "clouds). Empty keeps the preset's value.")
     ap.add_argument("--debug-dir", default="",
                     help="dump descriptor images / loop markers / stage "
                          "clouds (the reference's rviz debug surface)")
@@ -67,7 +66,7 @@ def main():
     args = ap.parse_args()
 
     cfg = PRESETS[args.preset]()
-    if args.match_source != "sharp":
+    if args.match_source:
         import dataclasses
 
         cfg = cfg.replace(matching=dataclasses.replace(

@@ -157,14 +157,18 @@ class MatchingConfig:
     # (scan_to_map_scheduled): static iteration count + kNN refresh points
     uniform_iters: int = 8
     uniform_refresh: tuple = (2, 5)
-    # matched-cloud source: "sharp" (production: the extracted sharp
-    # feature clouds), "full_ds" (reference-faithful: voxel-DS of the
-    # FULL corner/surf clouds — currentCloudInit, odomEstimationNode.cpp:
-    # 260-281 downsamples the full clouds, NOT the sharp subsets), or
-    # "hybrid" (sharp corners + voxel-uniform full surf)
-    match_source: str = "sharp"
+    # matched-cloud source: "hybrid" (production default: sharp corners +
+    # voxel-UNIFORM downsample of the FULL surf cloud — measured on the
+    # 60-scan TPU circuit it is both FASTER and 2.7x more accurate than
+    # "sharp" at surf capacity 2048: 103.3 vs 95.2 scans/s, ATE 0.044 vs
+    # 0.119; the uniform spatial coverage converges in fewer GN iterations,
+    # see docs/PERF.md round 4), "sharp" (the extracted sharp feature
+    # clouds only), or "full_ds" (reference-faithful: voxel-DS of the FULL
+    # corner/surf clouds — currentCloudInit, odomEstimationNode.cpp:
+    # 260-281 downsamples the full clouds, NOT the sharp subsets)
+    match_source: str = "hybrid"
     matched_corner_capacity: int = 4096
-    matched_surf_capacity: int = 4096
+    matched_surf_capacity: int = 2048
     # full_ds leaf sizes. The reference uses the mapping leaves (0.2/0.4);
     # measured on the synthetic circuit, the accuracy gain comes from the
     # VOXEL-UNIFORM coverage, not the point count — surf leaf 1.2 m keeps
@@ -395,9 +399,24 @@ class RuntimeConfig:
     queue_capacity: int = 20  # drop-beyond-20 policy (subMapOptmizationNode.cpp:739)
     # deferred-pipeline drain batch: per-scan results are fetched from the
     # device in batches of this many scans with ONE blocking transfer
-    # (pipeline/slam.py). 1 = near-synchronous; larger amortizes the ~50 ms
+    # (pipeline/slam.py). 1 = near-synchronous; larger amortizes the ~25 ms
     # D2H sync of tunneled TPUs at the cost of keyframe bookkeeping lag.
-    drain_every: int = 6
+    # Swept on the loop-closing plaza (scripts/sweep_drain.py): 6 -> 34.4,
+    # 12 -> 38.0, 25 -> 38.7 scans/s with IDENTICAL trajectories/loops; 12
+    # keeps the bookkeeping lag at 1.2 s (the reference's loop thread runs
+    # at 2 Hz = 0.5 s, its optimizer at 1 Hz).
+    drain_every: int = 12
+    # batched multi-sequence replay (parallel/batched.replay_batched):
+    # keyframe-merge cadence. Lanes diverge under vmap, so the cond-free
+    # step pays the masked aged-voxel merge EVERY scan — ~47% of the
+    # per-lane cost (docs/PERF.md round 4). With K>1 only every Kth step
+    # compiles the merge in; a keyframe the gate wanted in between fires at
+    # the next allowed step (quantized timing, identical map semantics).
+    # 1 = exact single-sequence uniform-step behavior. Swept on the 8-lane
+    # HDL-64 circuit (scripts/sweep_batched.py): K=1 50.7, K=2 58.1,
+    # K=3 63.2, K=4 65.6 agg scans/s at statistically flat ATE
+    # (0.036/0.036/0.032/0.034).
+    batched_kf_every: int = 4
     # mappingProcessInterval: loaded by the reference's ParamServer but
     # consumed by no code (params.yaml:128 comment notwithstanding). Kept
     # for preset parity.

@@ -27,8 +27,9 @@ def batched_init_state(cfg: SlamConfig, batch: int) -> odometry.OdomState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def batched_odom_step(states, scans, cfg: SlamConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "allow_kf"),
+                   donate_argnums=(0,))
+def batched_odom_step(states, scans, cfg: SlamConfig, allow_kf: bool = True):
     """vmapped per-scan step over the leading sequence axis.
 
     Uses the cond-free (uniform) step variant: under vmap, lax.cond runs
@@ -37,9 +38,16 @@ def batched_odom_step(states, scans, cfg: SlamConfig):
     uniform variant (masked keyframe insert + static-refresh-schedule
     solver) makes both costs explicit and fixed. Per-sequence results are
     exactly equal to the single-sequence `odom_step_uniform` (and within
-    solver noise of `odom_step`, see test_uniform_step_matches_cond_step)."""
+    solver noise of `odom_step`, see test_uniform_step_matches_cond_step).
+
+    allow_kf=False compiles the step WITHOUT the masked keyframe merge —
+    the merge is ~47% of the vmapped per-lane cost because lanes diverge
+    and every scan pays it. The replay driver calls the merge-free program
+    between merge steps (host cadence, RuntimeConfig.batched_kf_every);
+    keyframe timing quantizes to the cadence, map semantics unchanged."""
     return jax.vmap(
-        lambda s, sc: odometry.odom_step_uniform(s, sc, cfg))(states, scans)
+        lambda s, sc: odometry.odom_step_uniform(
+            s, sc, cfg, allow_kf=allow_kf))(states, scans)
 
 
 def make_sharded_step(cfg: SlamConfig, mesh: Mesh):
@@ -55,23 +63,28 @@ def make_sharded_step(cfg: SlamConfig, mesh: Mesh):
         )
 
     step = jax.jit(
-        lambda states, scans: batched_odom_step(states, scans, cfg),
-        donate_argnums=(0,),
+        lambda states, scans, allow_kf=True: batched_odom_step(
+            states, scans, cfg, allow_kf=allow_kf),
+        donate_argnums=(0,), static_argnames=("allow_kf",),
     )
     return step, shard, seq_sharding
 
 
 def replay_batched(sequences, cfg: SlamConfig, mesh: Mesh | None = None):
     """sequences: list of lists of ScanInput (equal length). Returns poses
-    (B, N, 6)."""
+    (B, N, 6). Keyframe merges run on the host cadence
+    cfg.runtime.batched_kf_every (1 = every scan, exactly the uniform
+    step; scan 0 always merges so the map is seeded)."""
     batch = len(sequences)
     n = min(len(s) for s in sequences)
+    kf_every = max(1, cfg.runtime.batched_kf_every)
     states = batched_init_state(cfg, batch)
     if mesh is not None:
         step, shard, _ = make_sharded_step(cfg, mesh)
         states = shard(states)
     else:
-        step = lambda st, sc: batched_odom_step(st, sc, cfg)
+        step = lambda st, sc, allow_kf=True: batched_odom_step(
+            st, sc, cfg, allow_kf=allow_kf)
         shard = lambda x: x
     poses = []
     for i in range(n):
@@ -80,6 +93,6 @@ def replay_batched(sequences, cfg: SlamConfig, mesh: Mesh | None = None):
         )
         if mesh is not None:
             scans = shard(scans)
-        states, outs = step(states, scans)
+        states, outs = step(states, scans, allow_kf=(i % kf_every == 0))
         poses.append(outs.pose)
     return np.asarray(jnp.stack(poses, axis=1))

@@ -251,12 +251,15 @@ def _insert_keyframe_masked(state: OdomState, fc: feat_ops.FeatureClouds,
 
 
 def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
-                    uniform: bool) -> tuple[OdomState, OdomOutput]:
+                    uniform: bool, allow_kf: bool = True
+                    ) -> tuple[OdomState, OdomOutput]:
     """Process one scan end-to-end (preprocess + match + map update).
 
     uniform=True uses the cond-free masked keyframe insert (for vmapped
     multi-sequence batching, where lax.cond would run both branches and
-    diverge per sequence)."""
+    diverge per sequence). allow_kf=False (uniform only) compiles the step
+    WITHOUT the keyframe merge — the batched replay driver alternates the
+    two programs on a host-side cadence (RuntimeConfig.batched_kf_every)."""
     fc, ext = preprocess(scan, cfg, return_ext=True)
 
     # ---- initial guess cascade (updateInitialGuess :297-419):
@@ -349,7 +352,16 @@ def _odom_step_impl(state: OdomState, scan: ScanInput, cfg: SlamConfig,
 
     # ---- keyframe insert + map rebuild (saveKeyFrames) ----
     is_kf = _keyframe_gate(pose, state.last_kf_pose, state.kf_count, gn, cfg)
-    if uniform:
+    if uniform and not allow_kf:
+        # merge-free step for the host-cadenced batched replay: the masked
+        # aged-voxel merge is ~47% of the vmapped per-lane cost (it runs
+        # every scan because lanes diverge — docs/PERF.md round 4), so the
+        # batched driver only compiles the merge into every Kth step. The
+        # gate is NOT consumed here: last_kf_pose stays put, the motion
+        # keeps accumulating, and the keyframe fires at the next allowed
+        # step (quantized keyframe timing, same map semantics).
+        is_kf = jnp.zeros_like(is_kf)
+    elif uniform:
         state = _insert_keyframe_masked(state, fc, pose, is_kf, cfg)
     else:
         state = jax.lax.cond(
@@ -403,11 +415,14 @@ def odom_step_nodonate(state: OdomState, scan: ScanInput,
     return state, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",),
+@functools.partial(jax.jit, static_argnames=("cfg", "allow_kf"),
                    donate_argnames=("state",))
-def odom_step_uniform(state: OdomState, scan: ScanInput,
-                      cfg: SlamConfig) -> tuple[OdomState, OdomOutput]:
+def odom_step_uniform(state: OdomState, scan: ScanInput, cfg: SlamConfig,
+                      allow_kf: bool = True
+                      ) -> tuple[OdomState, OdomOutput]:
     """Cond-free per-scan step for vmapped multi-sequence replay (state
-    donated, see odom_step)."""
-    state, out, _fc, _ext = _odom_step_impl(state, scan, cfg, uniform=True)
+    donated, see odom_step). allow_kf=False compiles out the keyframe
+    merge (see _odom_step_impl)."""
+    state, out, _fc, _ext = _odom_step_impl(
+        state, scan, cfg, uniform=True, allow_kf=allow_kf)
     return state, out

@@ -82,6 +82,7 @@ def test_replica_camera_jacobian_descends():
     np.testing.assert_allclose(pose, true_pose, atol=5e-3)
 
 
+@pytest.mark.slow  # compiles the greedy per-sector replica (~90 s on the CPU harness)
 def test_replica_features_agree_with_greedy_path(hdl64_cfg, world):
     """Replica greedy corners vs the pipeline's greedy=True selection on the
     same scan: the two faithful implementations must pick essentially the

@@ -97,6 +97,58 @@ def test_batched_replay_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_batched_kf_cadence():
+    """batched_kf_every=K: K=1 replay equals the per-scan-merge replay;
+    K=2 skips merges on odd steps (quantized keyframe timing) but must
+    track the same trajectory."""
+    import dataclasses
+
+    import lis_slam_tpu.io.synthetic as syn
+
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        boxes = [[-30, -5, 0, -20, 5, 8], [20, -5, 0, 30, 5, 8],
+                 [-5, 15, 0, 5, 25, 10], [-5, -25, 0, 5, -15, 10]]
+        poles = [[10 * np.cos(a), 10 * np.sin(a), 0.15, 5.0]
+                 for a in np.linspace(0, 2 * np.pi, 12)]
+        world = synthetic.World(
+            boxes=np.asarray(boxes, float),
+            box_labels=np.asarray([synthetic.LBL_BUILDING] * 4, np.int32),
+            poles=np.asarray(poles))
+        cfg = tiny_cfg()
+        n = 8
+        gt = synthetic.circular_trajectory(n + 1, radius=4.0, speed=3.0)
+        sins = []
+        for i in range(n):
+            s = synthetic.render_scan(world, gt[i], None, n_scan=16,
+                                      horizon=900, seed=400 + i,
+                                      max_range=90.0)
+            sins.append(driver.pad_scan(s.points[s.valid], cfg))
+
+        cfg1 = cfg.replace(runtime=dataclasses.replace(
+            cfg.runtime, batched_kf_every=1))
+        p1 = batched.replay_batched([sins, sins], cfg1, mesh=None)
+        state = odometry.init_state(cfg)
+        ref = []
+        for sin in sins:
+            state, out = odometry.odom_step_uniform(state, sin, cfg)
+            ref.append(np.asarray(out.pose))
+        # K=1 is the plain uniform step (vmap only reorders f32 reductions)
+        np.testing.assert_allclose(p1[0], np.asarray(ref), atol=5e-3)
+
+        cfg2 = cfg.replace(runtime=dataclasses.replace(
+            cfg.runtime, batched_kf_every=2))
+        p2 = batched.replay_batched([sins, sins], cfg2, mesh=None)
+        np.testing.assert_array_equal(p2[0], p2[1])  # lanes identical
+        # quantized keyframe timing shifts WHEN merges land, not the
+        # trajectory: bounded deviation on this tiny 16-beam circuit
+        assert np.abs(p2[0] - np.asarray(ref)).max() < 0.3
+    finally:
+        syn.hdl64_elevations = orig
+
+
+@pytest.mark.slow
 def test_uniform_step_matches_cond_step():
     """The cond-free step (masked keyframe insert + static-schedule solver)
     must track the lax.cond step closely on a single sequence. Not exact:

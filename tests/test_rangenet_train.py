@@ -1,7 +1,13 @@
-"""RangeNet model, semantic fusion, training step, and sharding tests."""
+"""RangeNet model, semantic fusion, training step, and sharding tests.
+
+The whole file is slow-tier: even the forward-only tests compile
+multi-block convnets on the CPU harness (~7 min for the file), which
+blows the <5 min fast-tier budget (VERDICT r3 #8)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

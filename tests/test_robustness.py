@@ -68,8 +68,9 @@ def test_finish_with_zero_scans():
     assert res.global_map is None
 
 
+@pytest.mark.slow  # compiles the full fused SLAM step (~50 s on the CPU harness)
 def test_finish_fewer_scans_than_drain_batch(tiny_scans):
-    """drain_every=6 default: a 3-scan run never triggers a scheduled
+    """drain_every default (>3): a 3-scan run never triggers a scheduled
     drain — finish() must flush the pending batch itself."""
     cfg = micro_cfg()
     assert cfg.runtime.drain_every > 3

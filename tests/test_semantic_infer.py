@@ -1,7 +1,12 @@
-"""End-to-end semantic inference path: projected scan -> RangeNet -> labels."""
+"""End-to-end semantic inference path: projected scan -> RangeNet -> labels.
+
+Slow-tier: compiles the conv backbone on the CPU harness (~5 min for the
+file), which blows the <5 min fast-tier budget (VERDICT r3 #8)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from lis_slam_tpu.viz import debug as dbg
 
@@ -37,8 +38,11 @@ def test_dumper_artifacts(tmp_path):
     assert "element vertex 2" in ply and "element edge 1" in ply
 
 
+@pytest.mark.slow
 def test_slam_pipeline_writes_debug(tmp_path):
-    """SemanticSlam(debug_dir=...) drops descriptor images at keyframes."""
+    """SemanticSlam(debug_dir=...) drops descriptor images at keyframes.
+
+    Slow-tier: compiles the full fused SLAM step on the CPU harness."""
     import lis_slam_tpu.io.synthetic as syn
     from lis_slam_tpu.io import synthetic
     from lis_slam_tpu.pipeline import driver, slam
