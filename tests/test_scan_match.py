@@ -93,6 +93,7 @@ def test_already_at_optimum_stays(problem):
     # trip at the 0.01 m map-noise floor; the pose must stay put regardless
 
 
+@pytest.mark.slow  # compiles a third scan_to_map shape (~22 s CPU)
 def test_too_few_points_no_update(problem):
     corner_map, surf_map, true_pose, scan_c, scan_s = problem
     ch, sh = _hashes(corner_map, surf_map)
@@ -109,6 +110,7 @@ def test_too_few_points_no_update(problem):
     np.testing.assert_allclose(np.asarray(out.pose), guess, atol=1e-6)
 
 
+@pytest.mark.slow  # compiles a second scan_to_map variant (~25 s CPU)
 def test_semantic_weighting_changes_solution(problem):
     """With weights zeroing out half the surf points, the solution should
     still converge (sanity for the semantic-weighted path)."""
