@@ -154,9 +154,13 @@ class MatchingConfig:
     converge_delta_r_deg: float = 0.005
     converge_delta_t_cm: float = 0.05
     # cond-free solver schedule for vmapped multi-sequence replay
-    # (scan_to_map_scheduled): static iteration count + kNN refresh points
+    # (scan_to_map_scheduled): static iteration count + kNN refresh points.
+    # Each refresh is a full kNN search (~2.1 ms/lane at batch 8); swept on
+    # the 8-lane HDL-64 circuit, one mid-schedule refresh matches the
+    # (2,5) double refresh to ATE noise (0.0335 vs 0.0339) at +14%
+    # throughput (scripts/sweep_batched.py).
     uniform_iters: int = 8
-    uniform_refresh: tuple = (2, 5)
+    uniform_refresh: tuple = (3,)
     # matched-cloud source: "hybrid" (production default: sharp corners +
     # voxel-UNIFORM downsample of the FULL surf cloud — measured on the
     # 60-scan TPU circuit it is both FASTER and 2.7x more accurate than

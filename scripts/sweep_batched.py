@@ -37,7 +37,9 @@ from lis_slam_tpu.pipeline import odometry
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # flags must not reach the positional batch-size parse
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(pos[0]) if pos else 8
     P = 65536
     base = SlamConfig().replace(sensor=SensorConfig(max_raw_points=P))
     scans, _gt = synthetic_jax.render_sequence_device(24, seed=5)
@@ -117,26 +119,35 @@ def main():
     from lis_slam_tpu.pipeline import trajectory
 
     gt_rel = trajectory.relative_to_first(np.asarray(_gt[:len(bscans)]))
-    for K in (1, 2, 3, 4):
+    sweeps = [] if "--refresh-only" in sys.argv else [
+        (K, base) for K in (1, 2, 3, 4)]
+    # on top of the merge cadence, fewer static kNN refreshes (each is
+    # ~2.1 ms/lane); ATE decides whether the default can drop one
+    for refresh in ((3,), (2,)):
+        sweeps.append((4, base.replace(matching=dataclasses.replace(
+            base.matching, uniform_refresh=refresh))))
+    for K, kcfg in sweeps:
         allow = lambda i: i % K == 0
-        bstates = pb.batched_init_state(base, B)
+        rtag = getattr(kcfg.matching, "uniform_refresh", None)
+        bstates = pb.batched_init_state(kcfg, B)
         dev_poses = []
         for i in range(2):
             bstates, bout = pb.batched_odom_step(
-                bstates, bscans[i], base, allow_kf=allow(i))
+                bstates, bscans[i], kcfg, allow_kf=allow(i))
             dev_poses.append(bout.pose[0])
         jax.device_get(bout.pose[0])
         t0 = time.perf_counter()
         for i in range(2, len(bscans)):
             bstates, bout = pb.batched_odom_step(
-                bstates, bscans[i], base, allow_kf=allow(i))
+                bstates, bscans[i], kcfg, allow_kf=allow(i))
             dev_poses.append(bout.pose[0])
         jax.device_get(bout.pose[0])
         wall = time.perf_counter() - t0
         n = len(bscans) - 2
         poses = np.asarray(jax.device_get(jnp.stack(dev_poses)))
         ate = trajectory.ate_rmse(poses, gt_rel[:len(poses)], align=False)
-        print(f"[kf_every={K}] {B * n / wall:7.2f} agg scans/s   "
+        print(f"[kf_every={K} refresh={rtag}] "
+              f"{B * n / wall:7.2f} agg scans/s   "
               f"{wall / n / B * 1e3:6.2f} ms/lane   ate={ate:.4f}",
               flush=True)
 

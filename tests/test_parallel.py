@@ -45,7 +45,30 @@ def test_batched_replay_matches_single(tmp_path):
             boxes=np.asarray(boxes, float),
             box_labels=np.asarray(labels, np.int32),
             poles=np.asarray(poles))
+        # Pin the solver knobs to the configuration where the cond and
+        # scheduled variants are near-identical (refresh budget (2, 5),
+        # sharp matched clouds, 10-candidate NN cache): this test isolates
+        # the vmap/masking/sharding machinery, and cross-variant
+        # pose-for-pose agreement needs matched correspondence behavior.
+        # The production defaults (hybrid clouds, k=8 cache, one refresh)
+        # trade that exact agreement for speed — measured: EITHER change
+        # alone moves worst per-step |dpose| from 0.003 to ~0.2 m on this
+        # SPARSE 16-beam circuit (first-observation anchoring preserves
+        # early correspondence differences), while trajectory-level ATE on
+        # the HDL-64 bench is equal (docs/PERF.md round 4). Production
+        # accuracy is pinned by test_batched_kf_cadence's trajectory bound
+        # and the bench ATE.
+        import dataclasses as _dc
         cfg = tiny_cfg()
+        cfg = cfg.replace(matching=_dc.replace(
+            cfg.matching, uniform_refresh=(2, 5), match_source="sharp",
+            nn_cache_k=10))
+        # merge every scan: the production batched_kf_every=4 quantizes
+        # keyframe merges in replay_batched, which is covered by
+        # test_batched_kf_cadence — HERE batched and single must run the
+        # exact same per-scan program
+        cfg = cfg.replace(runtime=_dc.replace(
+            cfg.runtime, batched_kf_every=1))
         n = 8
         gt = synthetic.circular_trajectory(n + 1, radius=4.0, speed=3.0)
         scans = [
@@ -167,7 +190,13 @@ def test_uniform_step_matches_cond_step():
             boxes=np.asarray(boxes, float),
             box_labels=np.asarray([synthetic.LBL_BUILDING] * 4, np.int32),
             poles=np.asarray(poles))
+        # Same-config comparison: see the pin comment in
+        # test_batched_replay_matches_single.
+        import dataclasses as _dc
         cfg = tiny_cfg()
+        cfg = cfg.replace(matching=_dc.replace(
+            cfg.matching, uniform_refresh=(2, 5), match_source="sharp",
+            nn_cache_k=10))
         n = 6
         gt = synthetic.circular_trajectory(n + 1, radius=4.0, speed=3.0)
         sins = []
