@@ -202,8 +202,10 @@ def main():
     lio_slam_sps = 0.0
     lio_slam_resets = -1
     try:
-        if not budget_left() or not slam_sps:
+        if not budget_left():
             raise TimeoutError("bench budget exhausted")
+        if not slam_sps:
+            raise RuntimeError("slam baseline failed, skipping lio_slam")
         import dataclasses as _dcl
 
         lcfg2 = cfg.replace(imu=_dcl.replace(cfg.imu, use_imu=True))

@@ -474,7 +474,14 @@ def velocity_bias_update(
     H = Jw.T @ Jw + jnp.linalg.inv(P_bg)
     dbg = jnp.clip(jnp.linalg.solve(H, Jw.T @ rw), -0.1, 0.1)
     bg_new = state.bg + dbg
-    P_bias = state.P_bias.at[:3, :3].set(jnp.linalg.inv(H))
+    # This one-window update estimates the gyro bias alone, so replace the
+    # bg marginal AND drop the stale bg-ba cross blocks: shrinking the
+    # marginal while keeping old cross terms can push the implied
+    # correlation past 1 and leave P_bias indefinite, which would turn the
+    # next two-window solve's inv(P_bias) prior into an anti-prior.
+    zero = jnp.zeros((3, 3))
+    P_bias = (state.P_bias.at[:3, :3].set(jnp.linalg.inv(H))
+              .at[:3, 3:].set(zero).at[3:, :3].set(zero))
     return ImuState(
         R=R1, v=v_new, p=p1, bg=bg_new, ba=state.ba, P_bias=P_bias,
     )

@@ -31,6 +31,28 @@ class ReplayResult:
     stage_ms: dict = field(default_factory=dict)
 
 
+def pad_imu_window(cfg: SlamConfig, imu_time: np.ndarray,
+                   imu_gyro: np.ndarray, imu_accel: np.ndarray):
+    """Zero-pad an IMU window to cfg.imu.max_imu_per_scan rows (numpy,
+    host-side). Padded accel slots carry neutral gravity so downstream
+    math over masked-but-touched lanes stays benign. The ONE shared
+    implementation — LioOdometry, SemanticSlam.process_scan, and
+    predict_imu_rate all consume it (three hand-rolled copies drifted
+    before this existed).
+
+    Returns (time (m,), gyro (m,3), accel (m,3), valid (m,) bool)."""
+    m = cfg.imu.max_imu_per_scan
+    k = min(len(imu_time), m)
+    it = np.zeros(m, np.float32)
+    ig = np.zeros((m, 3), np.float32)
+    ia = np.zeros((m, 3), np.float32)
+    ia[:, 2] = cfg.imu.gravity
+    it[:k] = imu_time[:k]
+    ig[:k] = imu_gyro[:k]
+    ia[:k] = imu_accel[:k]
+    return it, ig, ia, np.arange(m) < k
+
+
 def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
              imu_time: np.ndarray | None = None,
              imu_gyro: np.ndarray | None = None,

@@ -111,16 +111,11 @@ class LioOdometry:
         One device call, returns a DEVICE (M, 6) array — downstream
         consumers (controllers, viz) get ~IMU-rate poses between the
         scan-rate updates of process_scan."""
-        m = self.cfg.imu.max_imu_per_scan
-        k = min(len(imu_time), m)
-        it = np.zeros(m, np.float32)
-        ig = np.zeros((m, 3), np.float32)
-        ia = np.zeros((m, 3), np.float32)
-        ia[:, 2] = self.cfg.imu.gravity
-        it[:k] = imu_time[:k]
-        ig[:k] = imu_gyro[:k]
-        ia[:k] = imu_accel[:k]
-        iv = np.arange(m) < k
+        from . import driver
+
+        it, ig, ia, iv = driver.pad_imu_window(
+            self.cfg, imu_time, imu_gyro, imu_accel)
+        k = int(iv.sum())
         ig_l, ia_l = pi.imu_to_lidar(
             jnp.asarray(ig), jnp.asarray(ia), self.cfg.imu)
         Rs, _vs, ps = pi.predict_path(
@@ -160,16 +155,9 @@ class LioOdometry:
         from . import driver
 
         # --- pad the IMU window host-side (numpy, cheap), ONE prestep jit ---
-        m = cfg.imu.max_imu_per_scan
-        k = min(len(imu_time), m)
-        it = np.zeros(m, np.float32)
-        ig = np.zeros((m, 3), np.float32)
-        ia = np.zeros((m, 3), np.float32)
-        ia[:, 2] = cfg.imu.gravity  # neutral accel for padded slots
-        it[:k] = imu_time[:k]
-        ig[:k] = imu_gyro[:k]
-        ia[:k] = imu_accel[:k]
-        iv = np.arange(m) < k
+        it, ig, ia, iv = driver.pad_imu_window(
+            cfg, imu_time, imu_gyro, imu_accel)
+        k = int(iv.sum())
 
         pre = guess = g_buf = a_buf = vel_body = win_ok = None
         it_j, iv_j = jnp.asarray(it), jnp.asarray(iv)

@@ -158,6 +158,17 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
     prev_pose_scan = fstate.odom.pose  # previous scan's pose (pose1)
     pre = window_ok = not_first = None
     if use_lio:
+        # normalize the accel window to max_imu_per_scan rows at trace
+        # time: ScanInput.imu_accel's default is sized for the default
+        # config (64), so a caller with a larger max_imu_per_scan who
+        # leaves it unset would otherwise crash preintegrate's lax.scan
+        # with a leading-dimension mismatch next step
+        m_imu = cfg.imu.max_imu_per_scan
+        if scan.imu_accel.shape[0] != m_imu:
+            k = min(scan.imu_accel.shape[0], m_imu)
+            ia = jnp.zeros((m_imu, 3), jnp.float32).at[:, 2].set(
+                cfg.imu.gravity)
+            scan = scan._replace(imu_accel=ia.at[:k].set(scan.imu_accel[:k]))
         g_l, a_l = pi.imu_to_lidar(scan.imu_gyro, scan.imu_accel, cfg.imu)
         # preintegrate the PREVIOUS scan's window CLIPPED to the actual
         # inter-scan interval [t_{i-1}, t_i]: the delta that moves the nav
@@ -563,6 +574,10 @@ class SemanticSlam:
         # flight): the reference dedups candidate loops against existing
         # pairs BEFORE verification (subMapOptmizationNode.cpp:2431-2476)
         self._loop_pairs: set[tuple[int, int]] = set()
+        # pair keys with an ICP verification in flight: dedups duplicate
+        # dispatches within the verify latency window (a rejected verify
+        # releases its key so the pair can be retried later)
+        self._verify_inflight: set[tuple[int, int]] = set()
         self._scan_idx = 0
         self._zeros_lab = jnp.zeros(cfg.sensor.max_raw_points, jnp.int32)
         # ---- deferred pipeline queues ----
@@ -627,19 +642,21 @@ class SemanticSlam:
         t = (timestamp if timestamp is not None
              else self._scan_idx * self.cfg.sensor.scan_period)
         if self.cfg.imu.use_imu and imu_time is not None and len(imu_time):
-            m = self.cfg.imu.max_imu_per_scan
-            k = min(len(imu_time), m)
-            it = np.zeros(m, np.float32)
-            ig = np.zeros((m, 3), np.float32)
-            ia = np.zeros((m, 3), np.float32)
-            ia[:, 2] = self.cfg.imu.gravity  # neutral accel for padded slots
-            it[:k] = imu_time[:k]
-            ig[:k] = imu_gyro[:k]
-            ia[:k] = imu_accel[:k]
+            from . import driver as _driver
+
+            it, ig, ia, iv = _driver.pad_imu_window(
+                self.cfg, imu_time, imu_gyro, imu_accel)
             extra = dict(
                 imu_time=jnp.asarray(it), imu_gyro=jnp.asarray(ig),
                 imu_accel=jnp.asarray(ia),
-                imu_valid=jnp.asarray(np.arange(m) < k),
+                imu_valid=jnp.asarray(iv),
+                # the preintegration window is CLIPPED to
+                # [prev_scan_start, scan_start] inside slam_step; when the
+                # IMU window arrives through these kwargs the scan-start
+                # stamp must advance with it, or the clipped window
+                # collapses to [0, 0] and the whole LIO chain is silently
+                # inert (window_ok never holds)
+                scan_start=jnp.float32(t),
             )
             if imu_rpy is not None:
                 rpy = pi.remap_imu_orientation(imu_rpy, self.cfg.imu)
@@ -706,7 +723,7 @@ class SemanticSlam:
             fetch[1] = [res for (_kf, _ids, res) in loop_pend]
         if verify_pend:
             fetch[2] = [(r.transform, r.fitness)
-                        for (_kf, _cand, r) in verify_pend]
+                        for (_kf, _cand, _key, r) in verify_pend]
         if sub_pend:
             fetch[3] = [dev for (*_rest, dev) in sub_pend]
         if opt_pend is not None:
@@ -769,8 +786,9 @@ class SemanticSlam:
 
         # ---- consume verified loops (dispatched 2 drains ago) ----
         if verify_pend:
-            for (kf_i, cand_id, _r), (T_np, fit) in zip(
+            for (kf_i, cand_id, key, _r), (T_np, fit) in zip(
                     verify_pend, verify_res):
+                self._verify_inflight.discard(key)
                 fit = float(fit)
                 if fit < self.cfg.loop.history_fitness_score:
                     self.loops.append(
@@ -912,8 +930,10 @@ class SemanticSlam:
         if match_kf.submap_id < 0 or match_kf.submap_id >= len(
                 self.collector.submaps):
             return
-        if self._loop_pair_key(kf_index, cand.matched_id) in self._loop_pairs:
+        key = self._loop_pair_key(kf_index, cand.matched_id)
+        if key in self._loop_pairs or key in self._verify_inflight:
             return
+        self._verify_inflight.add(key)
         target = self.collector.submaps[match_kf.submap_id]
         T_init = match_kf.pose_init @ cand.transform
         with self.timer.stage("loop_verify"):
@@ -927,7 +947,7 @@ class SemanticSlam:
                 jnp.asarray(T_init.astype(np.float32)),
                 cfg.loop.icp_max_iterations,
             )
-        self._pending_verify.append((kf_index, cand.matched_id, res))
+        self._pending_verify.append((kf_index, cand.matched_id, key, res))
 
     # ------------------------------------------------------------------
     def _register_submaps_dispatch(self, prev: sm.SubMap, cur: sm.SubMap):

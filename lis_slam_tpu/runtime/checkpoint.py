@@ -66,6 +66,10 @@ def save_slam(path: str, system) -> None:
     arrs["kf_scan_ids"] = np.asarray(system.kf_scan_ids, np.int64)
     meta["scan_idx"] = system._scan_idx
     meta["n_loop_factors"] = system._n_loop_factors
+    # submap pairs already holding a loop factor — without this the
+    # post-resume dedup starts empty and a revisit can add a duplicate
+    # factor between an already-linked pair
+    meta["loop_pairs"] = sorted([list(p) for p in system._loop_pairs])
     meta["merge_classes"] = bool(system.collector.merge_classes)
     arrs["last_refined"] = np.asarray(system.fstate.last_refined)
     arrs["last_frontend"] = np.asarray(system.fstate.last_frontend)
@@ -172,6 +176,7 @@ def load_slam(path: str, system) -> None:
     system.kf_scan_ids = list(data["kf_scan_ids"])
     system._scan_idx = int(meta["scan_idx"])
     system._n_loop_factors = int(meta.get("n_loop_factors", 0))
+    system._loop_pairs = {tuple(p) for p in meta.get("loop_pairs", [])}
     system.collector.merge_classes = bool(meta.get("merge_classes", False))
     system.fstate = system.fstate._replace(
         last_refined=jnp.asarray(data["last_refined"]),
