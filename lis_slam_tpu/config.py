@@ -200,6 +200,14 @@ class MatchingConfig:
     # back-end degenerate-solve ICP fallback (icpAlignment,
     # subMapOptmizationNode.cpp:1435-1507)
     icp_fallback: bool = True
+    # GN iteration backend: "xla" (op-by-op: top_k re-rank, gathers,
+    # batched closed-form fits) or "pallas" (ops/pallas_gn.py: the whole
+    # iteration body fused into one VMEM-resident kernel per cloud —
+    # re-rank, eigen/plane fits, and the J^T J reduction; the (Q, 5, 3)
+    # intermediates never touch HBM). Same math to f32 rounding
+    # (tests/test_pallas_gn.py). The vmapped batched-replay path always
+    # uses "xla" (a Pallas call cannot batch under vmap).
+    gn_backend: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -175,7 +175,20 @@ def gauss_newton_update(
     H = J.T @ J
     g = J.T @ (-r)
     n_valid = jnp.sum(valid.astype(jnp.int32))
+    return gn_solve_from_hg(pose, H, g, n_valid, cfg)
 
+
+def gn_solve_from_hg(
+    pose: jnp.ndarray,
+    H: jnp.ndarray,  # (6, 6) normal equations
+    g: jnp.ndarray,  # (6,)
+    n_valid: jnp.ndarray,  # () int32
+    cfg: MatchingConfig,
+):
+    """Solve + degeneracy clamp + convergence test on prebuilt normal
+    equations — shared by the XLA correspondence path above and the fused
+    Pallas accumulation kernel (ops/pallas_gn.py), which builds H/g
+    on-chip."""
     x = lin.solve6_spd(H + 1e-9 * jnp.eye(6), g)
 
     # Degeneracy analysis. The reference computes this once at iterCount==0
@@ -228,6 +241,45 @@ def _morton_sort_queries(pts, mask, weight):
     )
     new_pts = jnp.stack(out[1:4], axis=1)
     return new_pts, out[4] > 0.5, (None if weight is None else out[5])
+
+
+def _iteration_update(state, corner_pts, corner_mask, c_cand, c_ok,
+                      surf_pts, surf_mask, s_cand, s_ok,
+                      corner_sem_weight, surf_sem_weight, cfg, cache_k):
+    """One GN iteration body on cached candidates, dispatched by
+    cfg.gn_backend: "pallas" fuses re-rank + correspondence fits + the
+    J^T J reduction into one on-chip kernel per cloud (ops/pallas_gn.py);
+    "xla" is the reference op-by-op path. Both share gn_solve_from_hg."""
+    if getattr(cfg, "gn_backend", "xla") == "pallas":
+        from . import pallas_gn
+
+        H, g, n_valid = pallas_gn.gn_iteration_hg(
+            state.pose, corner_pts, corner_mask, c_cand, c_ok,
+            surf_pts, surf_mask, s_cand, s_ok,
+            corner_sem_weight, surf_sem_weight, cfg, cache_k)
+        return gn_solve_from_hg(state.pose, H, g, n_valid, cfg)
+
+    T = se3.pose_to_matrix(state.pose)
+    cw = se3.transform_points(T, corner_pts)
+    sw = se3.transform_points(T, surf_pts)
+    cd, csel = _rerank_neighbors(cw, c_cand, c_ok, 5)
+    sd, ssel = _rerank_neighbors(sw, s_cand, s_ok, 5)
+    c_near = jnp.take_along_axis(c_cand, csel[..., None], axis=1)
+    s_near = jnp.take_along_axis(s_cand, ssel[..., None], axis=1)
+    cc = corner_correspondences(
+        cw, corner_mask, c_near, cd, cfg, corner_sem_weight
+    )
+    sc = surf_correspondences(
+        sw, surf_mask, s_near, sd, cfg, surf_sem_weight
+    )
+    pts = jnp.concatenate([corner_pts, surf_pts], axis=0)
+    coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
+    res = jnp.concatenate([cc.residual, sc.residual], axis=0)
+    val = jnp.concatenate([cc.valid, sc.valid], axis=0)
+    return gauss_newton_update(
+        state.pose, pts, coeff, res, val, state.it, state.proj,
+        state.degenerate, cfg,
+    )
 
 
 def scan_to_map(
@@ -304,27 +356,10 @@ def scan_to_map(
         cache = jax.lax.cond(moved, lambda: search(state.pose), lambda: cache)
         c_cand, c_ok, s_cand, s_ok, _ = cache
 
-        T = se3.pose_to_matrix(state.pose)
-        cw = se3.transform_points(T, corner_pts)
-        sw = se3.transform_points(T, surf_pts)
-        cd, csel = _rerank_neighbors(cw, c_cand, c_ok, 5)
-        sd, ssel = _rerank_neighbors(sw, s_cand, s_ok, 5)
-        c_near = jnp.take_along_axis(c_cand, csel[..., None], axis=1)
-        s_near = jnp.take_along_axis(s_cand, ssel[..., None], axis=1)
-        cc = corner_correspondences(
-            cw, corner_mask, c_near, cd, cfg, corner_sem_weight
-        )
-        sc = surf_correspondences(
-            sw, surf_mask, s_near, sd, cfg, surf_sem_weight
-        )
-        pts = jnp.concatenate([corner_pts, surf_pts], axis=0)
-        coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
-        res = jnp.concatenate([cc.residual, sc.residual], axis=0)
-        val = jnp.concatenate([cc.valid, sc.valid], axis=0)
-        new_pose, proj, degen, conv, n_valid, d_r, d_t = gauss_newton_update(
-            state.pose, pts, coeff, res, val, state.it, state.proj,
-            state.degenerate, cfg,
-        )
+        new_pose, proj, degen, conv, n_valid, d_r, d_t = _iteration_update(
+            state, corner_pts, corner_mask, c_cand, c_ok,
+            surf_pts, surf_mask, s_cand, s_ok,
+            corner_sem_weight, surf_sem_weight, cfg, cache_k)
         return (
             GNState(
                 pose=new_pose, proj=proj, degenerate=degen, converged=conv,
@@ -407,29 +442,17 @@ def scan_to_map_scheduled(
         delta_t=jnp.float32(0.0),
     )
     cache = search(pose0)
-    pts = jnp.concatenate([corner_pts, surf_pts], axis=0)
     for i in range(n_iters):
         if i in refresh_iters:
             cache = search(state.pose)
         c_cand, c_ok, s_cand, s_ok = cache
-        T = se3.pose_to_matrix(state.pose)
-        cw = se3.transform_points(T, corner_pts)
-        sw = se3.transform_points(T, surf_pts)
-        cd, csel = _rerank_neighbors(cw, c_cand, c_ok, 5)
-        sd, ssel = _rerank_neighbors(sw, s_cand, s_ok, 5)
-        c_near = jnp.take_along_axis(c_cand, csel[..., None], axis=1)
-        s_near = jnp.take_along_axis(s_cand, ssel[..., None], axis=1)
-        cc = corner_correspondences(
-            cw, corner_mask, c_near, cd, cfg, corner_sem_weight)
-        sc = surf_correspondences(
-            sw, surf_mask, s_near, sd, cfg, surf_sem_weight)
-        coeff = jnp.concatenate([cc.coeff, sc.coeff], axis=0)
-        res = jnp.concatenate([cc.residual, sc.residual], axis=0)
-        val = jnp.concatenate([cc.valid, sc.valid], axis=0)
-        new_pose, proj, degen, conv, n_valid, d_r, d_t = gauss_newton_update(
-            state.pose, pts, coeff, res, val, state.it, state.proj,
-            state.degenerate, cfg,
-        )
+        # NOTE: this variant runs under vmap (batched replay), where a
+        # Pallas call cannot batch — parallel/batched.py forces
+        # gn_backend="xla" on the config it hands to the vmapped step
+        new_pose, proj, degen, conv, n_valid, d_r, d_t = _iteration_update(
+            state, corner_pts, corner_mask, c_cand, c_ok,
+            surf_pts, surf_mask, s_cand, s_ok,
+            corner_sem_weight, surf_sem_weight, cfg, cache_k)
         active = ~state.converged
         state = GNState(
             pose=jnp.where(active, new_pose, state.pose),

@@ -45,6 +45,14 @@ def batched_odom_step(states, scans, cfg: SlamConfig, allow_kf: bool = True):
     and every scan pays it. The replay driver calls the merge-free program
     between merge steps (host cadence, RuntimeConfig.batched_kf_every);
     keyframe timing quantizes to the cadence, map semantics unchanged."""
+    if getattr(cfg.matching, "gn_backend", "xla") != "xla":
+        # a Pallas call cannot batch under vmap: the vmapped replay always
+        # runs the XLA iteration body (the cond-free schedule already
+        # amortizes what the fused kernel saves on the per-scan path)
+        import dataclasses
+
+        cfg = cfg.replace(
+            matching=dataclasses.replace(cfg.matching, gn_backend="xla"))
     return jax.vmap(
         lambda s, sc: odometry.odom_step_uniform(
             s, sc, cfg, allow_kf=allow_kf))(states, scans)

@@ -22,13 +22,19 @@ from lis_slam_tpu.ops import pretreatment as pre_ops
 from lis_slam_tpu.pipeline import odometry
 
 
+def _sync(out):
+    # block_until_ready does NOT block through the axon tunnel; a small
+    # device_get is the reliable sync
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
+
+
 def timeit(fn, args_list, n=20, warmup=3):
     for a in args_list[:warmup]:
-        jax.block_until_ready(fn(*a))
+        _sync(fn(*a))
     t0 = time.perf_counter()
     for i in range(n):
         out = fn(*args_list[warmup + (i % (len(args_list) - warmup))])
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 
