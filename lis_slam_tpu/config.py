@@ -300,6 +300,27 @@ class SubMapConfig:
     dynamic_near: float = 0.1
     dynamic_min: float = 1.0
     dynamic_max: float = 10.0
+    # --- submap-to-submap registration consumption (pipeline/slam.py) ---
+    # bbox-intersection crop margin around min/max overlap, metres: the
+    # reference crops both clouds to the raw intersection
+    # (extractSubMapCloud, subMapOptmizationNode.cpp:3976-4081); the margin
+    # keeps boundary structure that would otherwise lose its neighbors
+    bbox_margin_m: float = 2.0
+    # reject a refined submap transform whose translation jumps further
+    # than this from the odometry chain (falls back to the odometry
+    # factor) — plays the role of the reference's iSAM2 robustness to a
+    # diverged scan-to-map solve; sized ~4x the worst inter-submap
+    # odometry drift observed on the synthetic circuits
+    register_jump_reject_m: float = 2.0
+    # --- keyframe device-cloud retention (endurance policy; the reference
+    # evicts its map containers aggressively, odomEstimationNode.cpp:
+    # 591-593) --- keyframe corner/surf/class clouds are only read (a) by
+    # the submap merge at close and (b) as the SOURCE of a loop ICP
+    # verification, which always targets a RECENT keyframe (dispatched
+    # within ~2 drain cycles of its creation). Once a keyframe's submap is
+    # `release_after_submaps` closes old, its device clouds are freed —
+    # poses/descriptors/timestamps stay. 0 disables eviction.
+    release_after_submaps: int = 2
 
 
 @dataclass(frozen=True)
@@ -341,6 +362,17 @@ class LoopClosureConfig:
     max_candidates: int = 8
     icp_max_iterations: int = 30
     max_keyframes: int = 4096  # descriptor database capacity
+    # --- loop ICP verification (detectLoopClosureForSubMap,
+    # subMapOptmizationNode.cpp:2739-2916) --- the reference registers with
+    # max correspondence distance 10 m (:2765); 2 m measured equally
+    # reliable on the descriptor-seeded verifies here (the seed is already
+    # within ~1 m) and 5x cheaper in rejected-pair cost
+    verify_max_correspond_dist: float = 2.0
+    # voxel-hash build for the verify target cloud (ops/knn.build_hash):
+    # 1 m cells / 32k slots cover a 131k-point submap surf cloud at <50%
+    # load factor
+    verify_hash_cell_size: float = 1.0
+    verify_hash_table_size: int = 1 << 15
 
 
 @dataclass(frozen=True)
@@ -417,6 +449,17 @@ class RuntimeConfig:
     # 12 -> 38.0, 25 -> 38.7 scans/s with IDENTICAL trajectories/loops; 12
     # keeps the bookkeeping lag at 1.2 s (the reference's loop thread runs
     # at 2 Hz = 0.5 s, its optimizer at 1 Hz).
+    #
+    # FAILURE-RESET LATENCY: the sticky device-side IMU failure latch is
+    # consumed when its window's scalars are read back, which since round
+    # 5 is one window DELAYED — a diverged nav state can seed GN initial
+    # guesses for up to 2*drain_every scans before _imu_reset fires (the
+    # reference resets in the same callback, subMapOptmizationNode.cpp:
+    # 2153-2156). Mitigations already in place: the predicted guess only
+    # ARMS init_guess_valid (the solver still converges from the
+    # constant-velocity cascade on garbage guesses), and the latch is
+    # sticky so no divergence event is dropped. Lower drain_every if IMU
+    # divergence is expected to be frequent.
     drain_every: int = 12
     # batched multi-sequence replay (parallel/batched.replay_batched):
     # keyframe-merge cadence. Lanes diverge under vmap, so the cond-free

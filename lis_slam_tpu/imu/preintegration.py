@@ -418,11 +418,17 @@ def velocity_bias_update2(
 
     H = Jw.T @ Jw + Lam
     delta = jnp.linalg.solve(H, Jw.T @ rw)
-    P_post = jnp.linalg.inv(H)[:6, :6]
     # wide FINAL-SAFETY clamps only (failure gate is |bias| > 1.0)
     dbg = jnp.clip(delta[0:3], -0.1, 0.1)
     dba = jnp.clip(delta[3:6], -0.2, 0.2)
     dv0 = delta[6:9]
+    # posterior bias marginal — but NOT when a clamp saturated: a truncated
+    # step is not the MAP step, and contracting the marginal as if it were
+    # would make the prior overconfident exactly when the estimate is
+    # furthest from converged. Keep the random-walk-inflated prior instead.
+    clamped = (jnp.any(jnp.abs(delta[0:3]) > 0.1)
+               | jnp.any(jnp.abs(delta[3:6]) > 0.2))
+    P_post = jnp.where(clamped, P_b, jnp.linalg.inv(H)[:6, :6])
 
     bg_new = state.bg + dbg
     ba_new = state.ba + dba
@@ -472,15 +478,20 @@ def velocity_bias_update(
     Jw, rw = _whiten(S_R, pre.dR_dbg, rot_res)
     P_bg = state.P_bias[:3, :3] + cfg.gyr_bias_noise**2 * dt * I3
     H = Jw.T @ Jw + jnp.linalg.inv(P_bg)
-    dbg = jnp.clip(jnp.linalg.solve(H, Jw.T @ rw), -0.1, 0.1)
+    dbg_raw = jnp.linalg.solve(H, Jw.T @ rw)
+    dbg = jnp.clip(dbg_raw, -0.1, 0.1)
     bg_new = state.bg + dbg
+    # same clamp rule as velocity_bias_update2: a truncated step must not
+    # contract the marginal as if the full MAP step was applied
+    bg_marg = jnp.where(jnp.any(jnp.abs(dbg_raw) > 0.1),
+                        P_bg, jnp.linalg.inv(H))
     # This one-window update estimates the gyro bias alone, so replace the
     # bg marginal AND drop the stale bg-ba cross blocks: shrinking the
     # marginal while keeping old cross terms can push the implied
     # correlation past 1 and leave P_bias indefinite, which would turn the
     # next two-window solve's inv(P_bias) prior into an anti-prior.
     zero = jnp.zeros((3, 3))
-    P_bias = (state.P_bias.at[:3, :3].set(jnp.linalg.inv(H))
+    P_bias = (state.P_bias.at[:3, :3].set(bg_marg)
               .at[:3, 3:].set(zero).at[3:, :3].set(zero))
     return ImuState(
         R=R1, v=v_new, p=p1, bg=bg_new, ba=state.ba, P_bias=P_bias,

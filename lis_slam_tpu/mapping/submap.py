@@ -39,22 +39,42 @@ class ClassClouds(NamedTuple):
 
     xyz: jnp.ndarray  # (5, C, 3)
     mask: jnp.ndarray  # (5, C)
+    # per-point residual weight 2 - LabelSorce[learning class]; None on
+    # label-free paths (stage-3 then falls back to category means)
+    w: jnp.ndarray | None = None  # (5, C)
 
 
 @dataclass
 class Keyframe:
-    """keyframe_t equivalent (host-held, arrays on device)."""
+    """keyframe_t equivalent (host-held, arrays on device).
+
+    Cloud fields become None once `release_clouds` fires (endurance
+    policy, cfg.submap.release_after_submaps): after a keyframe's submap
+    has closed and the loop-verify latency window has passed, nothing
+    reads them again — on a KITTI-length run they would otherwise pin
+    ~1 MB of dead device memory per keyframe (the reference evicts its
+    map containers the same way, odomEstimationNode.cpp:591-593)."""
 
     index: int
     pose_init: np.ndarray  # (4, 4) odometry pose
     pose_opt: np.ndarray  # (4, 4) optimized pose
-    clouds: ClassClouds  # per-category clouds (sensor frame)
-    corner_xyz: jnp.ndarray  # LOAM edge cloud (sensor frame)
-    corner_mask: jnp.ndarray
-    surf_xyz: jnp.ndarray
-    surf_mask: jnp.ndarray
+    clouds: ClassClouds | None  # per-category clouds (sensor frame)
+    corner_xyz: jnp.ndarray | None  # LOAM edge cloud (sensor frame)
+    corner_mask: jnp.ndarray | None
+    surf_xyz: jnp.ndarray | None
+    surf_mask: jnp.ndarray | None
     submap_id: int = -1
     timestamp: float = 0.0  # scan time (keyframe_t keeps the header stamp)
+
+    @property
+    def released(self) -> bool:
+        return self.surf_xyz is None
+
+    def release_clouds(self) -> None:
+        """Free the device cloud buffers; poses/timestamps/ids stay."""
+        self.clouds = None
+        self.corner_xyz = self.corner_mask = None
+        self.surf_xyz = self.surf_mask = None
 
 
 @dataclass
@@ -80,6 +100,7 @@ class SubMap:
     # subMap.h:435-664), world frame; None when semantics are off
     class_xyz: jnp.ndarray | None = None  # (5, C, 3)
     class_mask: jnp.ndarray | None = None  # (5, C)
+    class_w: jnp.ndarray | None = None  # (5, C) per-point residual weight
 
     def get_bbox(self) -> np.ndarray | None:
         """Host bbox; materializes bbox_dev on first use (blocking) if the
@@ -184,8 +205,11 @@ def _merge_stacked(poses, xyz, mask, leaf, capacity):
 
 
 @functools.partial(jax.jit, static_argnames=("leaf", "capacity"))
-def _merge_stacked_classes(poses, xyz, mask, leaf, capacity):
-    """(K,5,Q,3), (K,5,Q) -> per-class world-frame voxel-unique (5,C,3)."""
+def _merge_stacked_classes(poses, xyz, mask, w, leaf, capacity):
+    """(K,5,Q,3), (K,5,Q), (K,5,Q) -> per-class world-frame voxel-unique
+    (5,C,3) + mask + per-point weights (riding the downsample's payload
+    lane — the stage-3 registration weights per point,
+    subMapOptmizationNode.cpp:4556-4966)."""
     from ..ops import voxel as _voxel
     from ..utils import se3 as _se3
 
@@ -194,9 +218,11 @@ def _merge_stacked_classes(poses, xyz, mask, leaf, capacity):
     )(poses, xyz)  # (K, 5, Q, 3)
     allp = jnp.moveaxis(world, 1, 0).reshape(xyz.shape[1], -1, 3)
     allm = jnp.moveaxis(mask, 1, 0).reshape(mask.shape[1], -1)
-    out, om, _ = jax.vmap(
-        lambda p, m: _voxel.voxel_downsample(p, m, leaf, capacity))(allp, allm)
-    return out, om
+    allw = jnp.moveaxis(w, 1, 0).reshape(w.shape[1], -1)
+    out, om, _, ow = jax.vmap(
+        lambda p, m, pw: _voxel.voxel_downsample(
+            p, m, leaf, capacity, payloads=(pw,)))(allp, allm, allw)
+    return out, om, ow
 
 
 class SubMapCollector:
@@ -295,13 +321,18 @@ class SubMapCollector:
             poses, sx, smk, 0.4, self.cfg.surf_capacity)
         # per-category clouds (submap_t's 5 merged class clouds,
         # subMap.h:435-664): transform each keyframe's ClassClouds to world,
-        # concat, voxel-compact per class
-        class_xyz = class_mask = None
+        # concat, voxel-compact per class; per-point weights ride along
+        class_xyz = class_mask = class_w = None
         if self.merge_classes:
             kx, km = stack(lambda kf: kf.clouds.xyz, lambda kf: kf.clouds.mask,
                            kfs[0].clouds.xyz.shape)
-            class_xyz, class_mask = _merge_stacked_classes(
-                poses, kx, km, 0.4, self.cfg.class_capacity)
+            wshape = kfs[0].clouds.xyz.shape[:-1]
+            kw = jnp.stack(
+                [kf.clouds.w if kf.clouds.w is not None
+                 else jnp.ones(wshape) for kf in kfs]
+                + [jnp.ones(wshape)] * (n_pad - len(kfs)))
+            class_xyz, class_mask, class_w = _merge_stacked_classes(
+                poses, kx, km, kw, 0.4, self.cfg.class_capacity)
         sm = SubMap(
             index=len(self.submaps),
             pose_init=base,
@@ -310,7 +341,7 @@ class SubMapCollector:
             surf_xyz=surf, surf_mask=surf_m,
             kf_indices=[kf.index for kf in kfs],
             kf_rel_poses=[base_inv @ kf.pose_init for kf in kfs],
-            class_xyz=class_xyz, class_mask=class_mask,
+            class_xyz=class_xyz, class_mask=class_mask, class_w=class_w,
         )
         for kf in kfs:
             kf.submap_id = sm.index

@@ -32,13 +32,17 @@ class ReplayResult:
 
 
 def pad_imu_window(cfg: SlamConfig, imu_time: np.ndarray,
-                   imu_gyro: np.ndarray, imu_accel: np.ndarray):
+                   imu_gyro: np.ndarray, imu_accel: np.ndarray | None):
     """Zero-pad an IMU window to cfg.imu.max_imu_per_scan rows (numpy,
     host-side). Padded accel slots carry neutral gravity so downstream
-    math over masked-but-touched lanes stays benign. The ONE shared
-    implementation — LioOdometry, SemanticSlam.process_scan, and
-    predict_imu_rate all consume it (three hand-rolled copies drifted
-    before this existed).
+    math over masked-but-touched lanes stays benign; a gyro-only caller
+    (imu_accel=None) gets the same gravity-neutral rows for the VALID
+    slots too (specific force that integrates to zero acceleration —
+    constant velocity), NOT zeros, which would preintegrate free fall and
+    bias the predicted velocity by ~g*dt per window. The ONE shared
+    implementation — LioOdometry, SemanticSlam.process_scan, pad_scan, and
+    predict_imu_rate all consume it (hand-rolled copies drifted before
+    this existed).
 
     Returns (time (m,), gyro (m,3), accel (m,3), valid (m,) bool)."""
     m = cfg.imu.max_imu_per_scan
@@ -49,17 +53,22 @@ def pad_imu_window(cfg: SlamConfig, imu_time: np.ndarray,
     ia[:, 2] = cfg.imu.gravity
     it[:k] = imu_time[:k]
     ig[:k] = imu_gyro[:k]
-    ia[:k] = imu_accel[:k]
+    if imu_accel is not None:
+        ia[:k] = imu_accel[:k]
     return it, ig, ia, np.arange(m) < k
 
 
 def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
              imu_time: np.ndarray | None = None,
              imu_gyro: np.ndarray | None = None,
+             imu_accel: np.ndarray | None = None,
              scan_start: float = 0.0,
              velocity: np.ndarray | None = None,
              angular_rate: np.ndarray | None = None) -> odometry.ScanInput:
     """Pad a raw (P, 4) host cloud to the fixed scan buffer.
+
+    The IMU window is padded through pad_imu_window so gyro-only callers
+    get gravity-neutral accel rows (zeros would preintegrate free fall).
 
     `velocity`/`angular_rate`: body-frame ego motion at scan time for the
     dataPretreat front-end (cfg.imu.deskew_mode == "velocity")."""
@@ -70,14 +79,14 @@ def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
     n = min(len(points_xyzi), p)
     pts[:n] = points_xyzi[:n]
     val[:n] = True
-    it = np.zeros((m,), np.float32)
-    ig = np.zeros((m, 3), np.float32)
-    iv = np.zeros((m,), bool)
     if imu_time is not None and len(imu_time):
-        k = min(len(imu_time), m)
-        it[:k] = imu_time[:k]
-        ig[:k] = imu_gyro[:k]
-        iv[:k] = True
+        it, ig, ia, iv = pad_imu_window(cfg, imu_time, imu_gyro, imu_accel)
+    else:
+        it = np.zeros((m,), np.float32)
+        ig = np.zeros((m, 3), np.float32)
+        ia = np.zeros((m, 3), np.float32)
+        ia[:, 2] = cfg.imu.gravity
+        iv = np.zeros((m,), bool)
     has_vel = velocity is not None
     return odometry.ScanInput(
         points=jnp.asarray(pts),
@@ -86,7 +95,7 @@ def pad_scan(points_xyzi: np.ndarray, cfg: SlamConfig,
         imu_gyro=jnp.asarray(ig),
         imu_valid=jnp.asarray(iv),
         scan_start=jnp.float32(scan_start),
-        imu_accel=jnp.zeros((m, 3), jnp.float32),
+        imu_accel=jnp.asarray(ia),
         vel=jnp.asarray(np.asarray(velocity, np.float32) if has_vel
                         else np.zeros(3, np.float32)),
         ang_rate=jnp.asarray(

@@ -73,6 +73,12 @@ class SemanticScan(NamedTuple):
     # category order follows labels.CATEGORY_IDS
     class_xyz: jnp.ndarray  # (5, Qk, 3)
     class_mask: jnp.ndarray  # (5, Qk)
+    # per-point residual weight w = 2 - LabelSorce[learning class] riding
+    # each class cloud — the stage-3 submap registration consumes these
+    # (subMapOptmizationNode.cpp:4556-4966 weights per point; round 4
+    # approximated with category means). Default None for fabricated test
+    # scans; the fused pipeline always fills it.
+    class_w: jnp.ndarray | None = None  # (5, Qk)
 
 
 def _caps(cfg: SlamConfig):
@@ -167,8 +173,10 @@ def _semantic_scan_from_grids(xyz: jnp.ndarray, mask: jnp.ndarray,
         flat_xyz, flat_mask, cfg.voxel.submap_surf_leaf)
     vkey = jnp.where(flat_cat == pole_idx, key_pole, key_surf)
     ckey = jnp.where(flat_mask, flat_cat, n_cat).astype(jnp.int32)
+    flat_w = w.reshape(-1)
     s = jax.lax.sort(
-        (ckey, vkey, flat_xyz[:, 0], flat_xyz[:, 1], flat_xyz[:, 2]),
+        (ckey, vkey, flat_xyz[:, 0], flat_xyz[:, 1], flat_xyz[:, 2],
+         flat_w),
         num_keys=2)
     sc, sv = s[0], s[1]
     first = jnp.concatenate(
@@ -191,6 +199,8 @@ def _semantic_scan_from_grids(xyz: jnp.ndarray, mask: jnp.ndarray,
         sxyz, unique_indices=True)[: n_cat * qk]
     class_xyz = class_flat.reshape(n_cat, qk, 3)
     class_mask = jnp.arange(qk)[None, :] < counts[:, None]
+    class_w = jnp.ones((n_cat * qk + 1,)).at[dest].set(
+        s[5], unique_indices=True)[: n_cat * qk].reshape(n_cat, qk)
 
     return SemanticScan(
         corner_xyz=c_xyz, corner_w=c_w, corner_mask=c_mask,
@@ -198,6 +208,7 @@ def _semantic_scan_from_grids(xyz: jnp.ndarray, mask: jnp.ndarray,
         surf_is_dynamic=s_dyn > 0.5,
         class_xyz=class_xyz,
         class_mask=class_mask,
+        class_w=class_w,
     )
 
 

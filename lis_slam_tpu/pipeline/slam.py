@@ -54,11 +54,11 @@ from ..utils import profiling, se3, se3_np
 from . import odometry, semantic_odometry as semo, trajectory
 
 # Mean residual weight per super-category, w-bar = mean(2 - label_sorce)
-# over the category's learning classes. The merged submap class clouds carry
-# the CATEGORY only (the per-point learning class is consumed at keyframe
-# rate), so the stage-3 semantic weighting (subMapOptmizationNode.cpp:
-# 4556-4966, w = 2 - LabelSorce[label]) uses the category mean here —
-# documented deviation; the per-point weights of stages 1-2 are exact.
+# over the category's learning classes. LEGACY FALLBACK ONLY: since round 5
+# the per-point weights ride the submap class merge (SubMap.class_w) and
+# stage 3 weights per point exactly like stages 1-2 (subMapOptmizationNode.
+# cpp:4556-4966); these means are used only for submaps restored from
+# pre-round-5 checkpoints that carry no weight payload.
 _CAT_WEIGHT = tuple(
     float(np.mean(L.RESIDUAL_WEIGHT[L.LEARNING_TO_CATEGORY == k]))
     for k in range(len(L.CATEGORY_IDS))
@@ -113,6 +113,12 @@ class StepOut(NamedTuple):
     converged: jnp.ndarray  # () bool
     degenerate: jnp.ndarray  # () bool
     imu_fail: jnp.ndarray  # () bool sticky IMU failure latch (use_imu)
+    # () bool: the preintegration window for THIS step clipped to an empty
+    # interval (pre.count == 0). With IMU data supplied every scan this
+    # staying True means the caller's imu_time clock and the scan_start
+    # clock disagree and the LIO chain is inert — surfaced as a host
+    # warning at drain time instead of failing silently.
+    imu_win_empty: jnp.ndarray
     # feature clouds (sensor frame) — computed every scan by the front end
     corner_xyz: jnp.ndarray
     corner_mask: jnp.ndarray
@@ -127,6 +133,7 @@ class StepOut(NamedTuple):
     lab_surf: jnp.ndarray  # (Sk,) learning-class per surf feature
     class_xyz: jnp.ndarray  # (5, Qk, 3) per-category keyframe clouds
     class_mask: jnp.ndarray  # (5, Qk)
+    class_w: jnp.ndarray  # (5, Qk) per-point residual weights
     desc_sel: jnp.ndarray  # (R, S) selected loop descriptor
     signature: jnp.ndarray  # (360, 4)
 
@@ -206,7 +213,9 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
     # ImuFactors share the velocity variable) + failure detection ----
     imu_fields = {}
     imu_fail_out = jnp.bool_(False)
+    imu_win_empty = jnp.bool_(False)
     if use_lio:
+        imu_win_empty = ~window_ok
         do_update = not_first & window_ok
 
         def _upd(op):
@@ -284,17 +293,20 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
                 lab[jnp.clip(fc.surf_src, 0, lab.shape[0] - 1)], 0,
             ).astype(jnp.int32)
             class_xyz, class_mask = sscan.class_xyz, sscan.class_mask
+            class_w = sscan.class_w
         else:
             new_sem, refined = sem, out.pose
             lab_surf = jnp.zeros(fc.surf_xyz.shape[0], jnp.int32)
             class_xyz = jnp.zeros((5, qk, 3))
             class_mask = jnp.zeros((5, qk), bool)
+            class_w = jnp.ones((5, qk))
         desc = epsc.compute_descriptors(
             fc.surf_xyz, fc.surf_intensity, lab_surf, fc.surf_mask,
             fc.sharp_corner_xyz, fc.sharp_corner_mask,
             fc.sharp_surf_xyz, fc.sharp_surf_mask, cfg.loop,
         )
         return (new_sem, out.pose, refined, lab_surf, class_xyz, class_mask,
+                class_w,
                 epsc.select_descriptor(desc, cfg.loop.descriptor),
                 desc.signature)
 
@@ -303,9 +315,10 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
         return (sem, lf, lr,
                 jnp.zeros(fc.surf_xyz.shape[0], jnp.int32),
                 jnp.zeros((5, qk, 3)), jnp.zeros((5, qk), bool),
+                jnp.ones((5, qk)),
                 jnp.zeros((R, S)), jnp.zeros((epsc._SIG_SECTORS, 4)))
 
-    (sem2, lf2, lr2, lab_surf, class_xyz, class_mask, desc_sel,
+    (sem2, lf2, lr2, lab_surf, class_xyz, class_mask, class_w, desc_sel,
      signature) = jax.lax.cond(
         out.is_keyframe, kf_branch, skip_branch,
         (fstate.sem, fstate.last_frontend, fstate.last_refined))
@@ -318,7 +331,7 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
         refined=jnp.where(out.is_keyframe, lr2, out.pose),
         is_keyframe=out.is_keyframe,
         converged=out.converged, degenerate=out.degenerate,
-        imu_fail=imu_fail_out,
+        imu_fail=imu_fail_out, imu_win_empty=imu_win_empty,
         corner_xyz=fc.corner_xyz, corner_mask=fc.corner_mask,
         surf_xyz=fc.surf_xyz, surf_mask=fc.surf_mask,
         surf_intensity=fc.surf_intensity,
@@ -327,19 +340,19 @@ def slam_step(fstate: FusedState, scan: odometry.ScanInput,
         sharp_surf_xyz=fc.sharp_surf_xyz,
         sharp_surf_mask=fc.sharp_surf_mask,
         lab_surf=lab_surf, class_xyz=class_xyz, class_mask=class_mask,
-        desc_sel=desc_sel, signature=signature,
+        class_w=class_w, desc_sel=desc_sel, signature=signature,
     )
     return new_state, step_out
 
 
 @jax.jit
-def _pack_scalars(poses, refineds, kfs, convs, degens, fails):
+def _pack_scalars(poses, refineds, kfs, convs, degens, fails, win_empties):
     """Stack the drain scalars into ONE array so the batched readback is a
-    single D2H transfer: (K, 16) = pose6 | refined6 | is_kf, conv, degen,
-    imu_fail."""
+    single D2H transfer: (K, 17) = pose6 | refined6 | is_kf, conv, degen,
+    imu_fail, imu_win_empty."""
     flags = jnp.stack(
         [jnp.stack(kfs), jnp.stack(convs), jnp.stack(degens),
-         jnp.stack(fails)], axis=1)
+         jnp.stack(fails), jnp.stack(win_empties)], axis=1)
     return jnp.concatenate(
         [jnp.stack(poses), jnp.stack(refineds),
          flags.astype(jnp.float32)], axis=1)
@@ -390,11 +403,13 @@ def _register_submaps_geo(prev_corner, prev_corner_mask, prev_surf,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _register_submaps_sem(prev_class_xyz, prev_class_mask, cur_class_xyz,
-                          cur_class_mask, T_cur, lo, hi, cfg):
+                          cur_class_mask, cur_class_w, T_cur, lo, hi, cfg):
     """Semantic-weighted submap-to-submap registration (the reference's
     THIRD LOAM copy, subMapOptmizationNode.cpp:4556-4966): corner features =
-    pole class, surf = dynamic+ground+building, residuals weighted by the
-    per-category w-bar (_CAT_WEIGHT). One device program per call."""
+    pole class, surf = dynamic+ground+building, residuals weighted PER
+    POINT by w = 2 - LabelSorce[learning class] (:4556-4966) carried
+    through the submap class merge (round 4 approximated these with
+    category means). One device program per call."""
     # target: previous submap's per-class clouds, bbox-cropped
     t_corner = prev_class_xyz[_POLE]
     t_corner_m = sm.bbox_mask(t_corner, prev_class_mask[_POLE], lo, hi)
@@ -410,13 +425,13 @@ def _register_submaps_sem(prev_class_xyz, prev_class_mask, cur_class_xyz,
     t_surf, t_surf_m, _ = scan_match._morton_sort_queries(
         t_surf, t_surf_m, None)
 
-    # source: current submap's class clouds in its own frame + per-category
+    # source: current submap's class clouds in its own frame + per-point
     # weights riding the downsample
     Ti = se3.transform_inverse(T_cur)
     cc_mask = sm.bbox_mask(cur_class_xyz[_POLE], cur_class_mask[_POLE],
                            lo, hi)
     c_src0 = se3.transform_points(Ti, cur_class_xyz[_POLE])
-    c_w0 = jnp.full(c_src0.shape[0], _CAT_WEIGHT[_POLE], jnp.float32)
+    c_w0 = cur_class_w[_POLE].astype(jnp.float32)
     s_all = jnp.concatenate(
         [cur_class_xyz[_DYN], cur_class_xyz[_GND], cur_class_xyz[_BLD]], 0)
     cs_mask = sm.bbox_mask(
@@ -425,12 +440,9 @@ def _register_submaps_sem(prev_class_xyz, prev_class_mask, cur_class_xyz,
                          cur_class_mask[_BLD]], 0),
         lo, hi)
     s_src0 = se3.transform_points(Ti, s_all)
-    qk = cur_class_xyz.shape[1]
     s_w0 = jnp.concatenate([
-        jnp.full(qk, _CAT_WEIGHT[_DYN], jnp.float32),
-        jnp.full(qk, _CAT_WEIGHT[_GND], jnp.float32),
-        jnp.full(qk, _CAT_WEIGHT[_BLD], jnp.float32),
-    ])
+        cur_class_w[_DYN], cur_class_w[_GND], cur_class_w[_BLD],
+    ]).astype(jnp.float32)
     c_src, c_m, _, c_w = voxel.voxel_downsample(
         c_src0, cc_mask, cfg.voxel.submap_corner_leaf,
         cfg.submap.matched_corner_capacity, payloads=(c_w0,))
@@ -446,19 +458,23 @@ def _register_submaps_sem(prev_class_xyz, prev_class_mask, cur_class_xyz,
     return se3.pose_to_matrix(gn.pose)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(jax.jit, static_argnames=(
+    "max_iterations", "max_correspond_dist", "cell_size", "table_size"))
 def _verify_loop_device(kf_surf, kf_mask, tgt_xyz, tgt_mask, T_init,
-                        max_iterations):
+                        max_iterations, max_correspond_dist, cell_size,
+                        table_size):
     """Loop ICP verification as ONE device program: hash build + seeded
     point-to-plane ICP (detectLoopClosureForSubMap, subMapOptmizationNode.
-    cpp:2739-2916). `tgt_xyz` is the submap's merged SEMANTIC cloud when
-    semantics flow (the reference verifies against the submap's merged
-    labeled cloud, subMap.h:435-664), else its surf cloud."""
-    th = knn.build_hash(tgt_xyz, tgt_mask, cell_size=1.0,
-                        table_size=1 << 15)
+    cpp:2739-2916; ICP params cfg.loop.verify_*). `tgt_xyz` is the submap's
+    merged SEMANTIC cloud when semantics flow (the reference verifies
+    against the submap's merged labeled cloud, subMap.h:435-664), else its
+    surf cloud."""
+    th = knn.build_hash(tgt_xyz, tgt_mask, cell_size=cell_size,
+                        table_size=table_size)
     return icp_ops.icp(
         kf_surf, kf_mask, tgt_xyz, th, T_init,
-        max_correspond_dist=2.0, max_iterations=max_iterations,
+        max_correspond_dist=max_correspond_dist,
+        max_iterations=max_iterations,
         point_to_plane=True,
     )
 
@@ -478,6 +494,7 @@ class _PendingScan(NamedTuple):
     idx: int
     timestamp: float
     out: StepOut
+    imu_supplied: bool = False  # caller passed an IMU window this scan
 
 
 class SemanticSlam:
@@ -568,19 +585,35 @@ class SemanticSlam:
         self._gps_dropped = 0  # fixes discarded without a matching keyframe
         self.keyframes: list[sm.Keyframe] = []
         self.kf_scan_ids: list[int] = []
+        # incremental (timestamp, submap, rel_pose) index for GPS matching,
+        # appended at submap close (sorted by construction) + its cached
+        # numpy timestamp view for searchsorted
+        self._kf_time_index: list[tuple] = []
+        self._kf_times_np: np.ndarray | None = None
+        self._indexed_submaps = 0  # prefix of submaps already in the index
+        self._released_submaps = 0  # prefix of submaps w/ released kf clouds
         self.loops: list[tuple[int, int, np.ndarray, float]] = []  # kf i,j
         self._n_loop_factors = 0  # actual loop factors added to the graph
         # submap pairs that already hold a loop factor (or have one in
         # flight): the reference dedups candidate loops against existing
         # pairs BEFORE verification (subMapOptmizationNode.cpp:2431-2476)
         self._loop_pairs: set[tuple[int, int]] = set()
-        # pair keys with an ICP verification in flight: dedups duplicate
-        # dispatches within the verify latency window (a rejected verify
-        # releases its key so the pair can be retried later)
+        # KEYFRAME pairs with an ICP verification in flight: dedups
+        # duplicate dispatches within the verify latency window (a rejected
+        # verify releases its entry so the pair can be retried later).
+        # Keyed on keyframe ids — stable across submap closes — and mapped
+        # to submap pairs at check time: a submap-pair key computed at
+        # dispatch goes stale when the open submap closes before the drain
         self._verify_inflight: set[tuple[int, int]] = set()
         self._scan_idx = 0
+        self._imu_inert_scans = 0  # consecutive supplied-but-empty windows
         self._zeros_lab = jnp.zeros(cfg.sensor.max_raw_points, jnp.int32)
         # ---- deferred pipeline queues ----
+        # snapshotted window awaiting its (delayed) blocking readback:
+        # (pend, packed, loop_pend, verify_pend, sub_pend, opt_pend,
+        #  bbox_pend) — see _drain
+        self._inflight: tuple | None = None
+        self._factors_dirty = False  # odom factors added since last optimize
         self._pending: list[_PendingScan] = []
         self._pending_loop: list[tuple[int, np.ndarray, tuple]] = []
         self._pending_verify: list[tuple[int, int, object]] = []
@@ -639,9 +672,22 @@ class SemanticSlam:
         two-window bias/velocity update, failure latch — inside the same
         device program (IMUPreintegration, subMapOptmizationNode.cpp:
         2007-2219 + odometry/fusion feedback :3440-3462)."""
-        t = (timestamp if timestamp is not None
-             else self._scan_idx * self.cfg.sensor.scan_period)
-        if self.cfg.imu.use_imu and imu_time is not None and len(imu_time):
+        imu_supplied = (self.cfg.imu.use_imu and imu_time is not None
+                        and len(imu_time) > 0)
+        if timestamp is not None:
+            t = timestamp
+        elif imu_supplied:
+            # the preintegration window is clipped to
+            # [prev_scan_start, scan_start]: deriving scan_start from the
+            # synthetic scan_idx * scan_period clock while imu_time uses a
+            # different (e.g. absolute) clock collapses the window to an
+            # empty interval and silently disables the whole LIO chain —
+            # so without an explicit timestamp the scan stamp must come
+            # from the SAME clock as the IMU window
+            t = float(imu_time[0])
+        else:
+            t = self._scan_idx * self.cfg.sensor.scan_period
+        if imu_supplied:
             from . import driver as _driver
 
             it, ig, ia, iv = _driver.pad_imu_window(
@@ -684,7 +730,8 @@ class SemanticSlam:
                 self.cfg, lab_mode,
                 self.model if lab_mode == "infer" else None,
                 self._infer_cfg if lab_mode == "infer" else None)
-        self._pending.append(_PendingScan(self._scan_idx, t, out))
+        self._pending.append(
+            _PendingScan(self._scan_idx, t, out, imu_supplied))
         self._scan_idx += 1
         if len(self._pending) >= max(1, self.cfg.runtime.drain_every):
             with self.timer.stage("drain"):
@@ -693,10 +740,23 @@ class SemanticSlam:
 
     # ------------------------------------------------------------------
     def _drain(self):
-        """Fetch all pending results with ONE blocking transfer, then run
-        the host-side bookkeeping: per-scan poses, keyframe registration,
-        loop-candidate dispatch, loop/verify result consumption, submap
-        grouping."""
+        """Snapshot the current window's device handles (the per-scan
+        scalar pack is dispatched here, async), then fetch and consume the
+        PREVIOUS window's results with ONE blocking transfer.
+
+        The one-window delay is the round-5 change that removed the 76%
+        drain stall of round 4: a same-window readback blocks the host on
+        the window's whole device compute chain (the pack depends on the
+        last scan's step), while window N-1's chain has had all of window
+        N's dispatch time to finish — by consume time the get is a pure
+        ~25 ms tunnel transfer and the device pipeline never runs dry.
+        Loop scores / ICP verifies / submap registrations / graph solves
+        already had this latency structure (the reference's concurrent
+        2 Hz loop + 1 Hz optimize threads are off the 10 Hz path the same
+        way, subMapOptmizationNode.cpp:3798-3886); now the per-scan
+        scalars do too. Keyframe bookkeeping therefore lags dispatch by up
+        to 2*drain_every scans — including the IMU failure-latch reset
+        (see RuntimeConfig.drain_every)."""
         pend = self._pending
         self._pending = []
         loop_pend = self._pending_loop
@@ -710,15 +770,63 @@ class SemanticSlam:
         bbox_pend = self._pending_bbox
         self._pending_bbox = []
 
-        fetch = [None, None, None, None, None, None]
+        packed = None
         if pend:
-            fetch[0] = _pack_scalars(
+            packed = _pack_scalars(
                 [p.out.pose for p in pend],
                 [p.out.refined for p in pend],
                 [p.out.is_keyframe for p in pend],
                 [p.out.converged for p in pend],
                 [p.out.degenerate for p in pend],
-                [p.out.imu_fail for p in pend])
+                [p.out.imu_fail for p in pend],
+                [p.out.imu_win_empty for p in pend])
+        cur = (pend, packed, loop_pend, verify_pend, sub_pend, opt_pend,
+               bbox_pend)
+        if not (pend or loop_pend or verify_pend or sub_pend
+                or opt_pend is not None or bbox_pend):
+            cur = None
+        prev, self._inflight = self._inflight, cur
+        if prev is not None:
+            self._consume(*prev)
+        # dispatch submap registrations whose bboxes are now both known
+        # (installed by this or an earlier consume) — lives here, not in
+        # _consume, so queued registrations still dispatch when no window
+        # is in flight (flush_pipeline termination)
+        if self._to_register:
+            ready, waiting = [], []
+            for (i, j) in self._to_register:
+                if (self.collector.submaps[i].bbox_dev is None
+                        and self.collector.submaps[j].bbox_dev is None):
+                    ready.append((i, j))
+                else:
+                    waiting.append((i, j))
+            self._to_register = waiting
+            for (i, j) in ready:
+                prev_s = self.collector.submaps[i]
+                cur_s = self.collector.submaps[j]
+                fallback = np.linalg.inv(prev_s.pose_init) @ cur_s.pose_init
+                with self.timer.stage("submap_register"):
+                    dev = self._register_submaps_dispatch(prev_s, cur_s)
+                self._pending_submap.append(
+                    (i, j, prev_s.pose_init.copy(), cur_s.pose_init.copy(),
+                     fallback, dev))
+        # ---- loop factors + (async) global optimize: dispatched here,
+        # installed when its window is consumed (the reference's 1 Hz
+        # subMapOptmizationThread has the same off-critical-path latency).
+        # Runs every _drain — not inside _consume — so verified loops
+        # still flush when no window is in flight ----
+        if self._flush_loop_factors() or self._factors_dirty:
+            self._factors_dirty = False
+            with self.timer.stage("graph_optimize"):
+                self._pending_opt = self.graph.optimize_async()
+
+    def _consume(self, pend, packed, loop_pend, verify_pend, sub_pend,
+                 opt_pend, bbox_pend):
+        """Blocking fetch + host bookkeeping for one snapshotted window:
+        per-scan poses, keyframe registration, loop-candidate dispatch,
+        loop/verify result consumption, submap grouping."""
+        fetch = [None, None, None, None, None, None]
+        fetch[0] = packed
         if loop_pend:
             fetch[1] = [res for (_kf, _ids, res) in loop_pend]
         if verify_pend:
@@ -733,29 +841,11 @@ class SemanticSlam:
         (scalars, loop_res, verify_res, sub_res,
          opt_res, bbox_res) = jax.device_get(tuple(fetch))
 
-        # ---- install submap bboxes, then dispatch registrations whose
-        # submaps both have one ----
+        # ---- install submap bboxes (consumed by the registration
+        # dispatch back in _drain) ----
         if bbox_pend:
             for (s, _dev), b in zip(bbox_pend, bbox_res):
                 s.install_bbox(np.asarray(b))
-        if self._to_register:
-            ready, waiting = [], []
-            for (i, j) in self._to_register:
-                if (self.collector.submaps[i].bbox_dev is None
-                        and self.collector.submaps[j].bbox_dev is None):
-                    ready.append((i, j))
-                else:
-                    waiting.append((i, j))
-            self._to_register = waiting
-            for (i, j) in ready:
-                prev = self.collector.submaps[i]
-                cur = self.collector.submaps[j]
-                fallback = np.linalg.inv(prev.pose_init) @ cur.pose_init
-                with self.timer.stage("submap_register"):
-                    dev = self._register_submaps_dispatch(prev, cur)
-                self._pending_submap.append(
-                    (i, j, prev.pose_init.copy(), cur.pose_init.copy(),
-                     fallback, dev))
 
         # ---- install the optimized node poses (dispatched last drain) ----
         if opt_pend is not None:
@@ -777,7 +867,9 @@ class SemanticSlam:
                     refined = np.asarray(fetched, np.float64)
                     delta = np.linalg.inv(cur_init) @ refined
                     # reject refinements that jump too far from odometry
-                    if np.linalg.norm(delta[:3, 3]) > 2.0:
+                    # (cfg.submap.register_jump_reject_m)
+                    if (np.linalg.norm(delta[:3, 3])
+                            > self.cfg.submap.register_jump_reject_m):
                         z = fallback
                     else:
                         z = np.linalg.inv(prev_init) @ refined
@@ -786,9 +878,9 @@ class SemanticSlam:
 
         # ---- consume verified loops (dispatched 2 drains ago) ----
         if verify_pend:
-            for (kf_i, cand_id, key, _r), (T_np, fit) in zip(
+            for (kf_i, cand_id, kf_pair, _r), (T_np, fit) in zip(
                     verify_pend, verify_res):
-                self._verify_inflight.discard(key)
+                self._verify_inflight.discard(kf_pair)
                 fit = float(fit)
                 if fit < self.cfg.loop.history_fitness_score:
                     self.loops.append(
@@ -816,6 +908,23 @@ class SemanticSlam:
             is_kf, conv, _deg = bool(row[12] > 0.5), bool(
                 row[13] > 0.5), bool(row[14] > 0.5)
             imu_failed = imu_failed or bool(row[15] > 0.5)
+            # inert-LIO diagnostic: IMU data supplied but the clipped
+            # preintegration window came back empty — a clock mismatch
+            # between imu_time and the scan timestamps leaves the whole
+            # fusion chain silently disabled (window_ok never holds)
+            if p.imu_supplied and bool(row[16] > 0.5) and p.idx > 0:
+                self._imu_inert_scans += 1
+                if self._imu_inert_scans == 3:
+                    import warnings
+
+                    warnings.warn(
+                        "IMU windows supplied but the preintegration "
+                        "window clipped empty on 3 consecutive scans: "
+                        "imu_time and the scan `timestamp` clocks likely "
+                        "disagree; LIO fusion is inert.",
+                        RuntimeWarning, stacklevel=2)
+            elif p.imu_supplied:
+                self._imu_inert_scans = 0
             if self.pose_hook is not None:
                 hooked = np.asarray(self.pose_hook(pose6, p.idx),
                                     dtype=pose6.dtype)
@@ -837,12 +946,9 @@ class SemanticSlam:
             self.fstate = _imu_reset(self.fstate, self.cfg)
             self.n_imu_resets += 1
 
-        # ---- loop factors + (async) global optimize: dispatched here,
-        # installed at the NEXT drain (the reference's 1 Hz
-        # subMapOptmizationThread has the same off-critical-path latency) ----
-        if self._flush_loop_factors() or any_factor:
-            with self.timer.stage("graph_optimize"):
-                self._pending_opt = self.graph.optimize_async()
+        # new odom factors this consume -> the optimize dispatch back in
+        # _drain fires even when no loop flushed
+        self._factors_dirty = self._factors_dirty or any_factor
 
     # ------------------------------------------------------------------
     def _on_keyframe(self, p: _PendingScan, pose6: np.ndarray,
@@ -860,7 +966,8 @@ class SemanticSlam:
                 pose_init=T,
                 pose_opt=T.copy(),
                 timestamp=p.timestamp,
-                clouds=sm.ClassClouds(xyz=out.class_xyz, mask=out.class_mask),
+                clouds=sm.ClassClouds(xyz=out.class_xyz, mask=out.class_mask,
+                                      w=out.class_w),
                 corner_xyz=out.corner_xyz, corner_mask=out.corner_mask,
                 surf_xyz=out.surf_xyz, surf_mask=out.surf_mask,
             )
@@ -930,10 +1037,20 @@ class SemanticSlam:
         if match_kf.submap_id < 0 or match_kf.submap_id >= len(
                 self.collector.submaps):
             return
+        if kf.released:  # source clouds evicted (can't happen for a
+            return  # just-created keyframe; guards replay-from-checkpoint)
         key = self._loop_pair_key(kf_index, cand.matched_id)
-        if key in self._loop_pairs or key in self._verify_inflight:
+        if key in self._loop_pairs:
             return
-        self._verify_inflight.add(key)
+        # recompute in-flight pairs' submap keys NOW (stable vs submap
+        # closes between their dispatch and drain); the in-flight set is a
+        # handful of entries at most, the scan is free
+        if any(self._loop_pair_key(a, b) == key
+               for (a, b) in self._verify_inflight):
+            return
+        kf_pair = (min(kf_index, cand.matched_id),
+                   max(kf_index, cand.matched_id))
+        self._verify_inflight.add(kf_pair)
         target = self.collector.submaps[match_kf.submap_id]
         T_init = match_kf.pose_init @ cand.transform
         with self.timer.stage("loop_verify"):
@@ -946,8 +1063,11 @@ class SemanticSlam:
                 kf.surf_xyz, kf.surf_mask, tgt_xyz, tgt_mask,
                 jnp.asarray(T_init.astype(np.float32)),
                 cfg.loop.icp_max_iterations,
+                cfg.loop.verify_max_correspond_dist,
+                cfg.loop.verify_hash_cell_size,
+                cfg.loop.verify_hash_table_size,
             )
-        self._pending_verify.append((kf_index, cand.matched_id, key, res))
+        self._pending_verify.append((kf_index, cand.matched_id, kf_pair, res))
 
     # ------------------------------------------------------------------
     def _register_submaps_dispatch(self, prev: sm.SubMap, cur: sm.SubMap):
@@ -966,16 +1086,21 @@ class SemanticSlam:
         pb, cb = prev.get_bbox(), cur.get_bbox()
         if pb is None or cb is None:
             return None
-        lo = np.maximum(pb[0], cb[0]) - 2.0
-        hi = np.minimum(pb[1], cb[1]) + 2.0
+        lo = np.maximum(pb[0], cb[0]) - cfg.submap.bbox_margin_m
+        hi = np.minimum(pb[1], cb[1]) + cfg.submap.bbox_margin_m
         if np.any(lo >= hi):
             return None
         lo_j, hi_j = jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
         T_cur = jnp.asarray(cur.pose_init.astype(np.float32))
         if prev.class_xyz is not None and cur.class_xyz is not None:
+            cur_w = cur.class_w
+            if cur_w is None:  # legacy checkpoints: category-mean weights
+                cur_w = jnp.broadcast_to(
+                    jnp.asarray(_CAT_WEIGHT, jnp.float32)[:, None],
+                    cur.class_mask.shape)
             return _register_submaps_sem(
                 prev.class_xyz, prev.class_mask, cur.class_xyz,
-                cur.class_mask, T_cur, lo_j, hi_j, cfg)
+                cur.class_mask, cur_w, T_cur, lo_j, hi_j, cfg)
         return _register_submaps_geo(
             prev.corner_xyz, prev.corner_mask, prev.surf_xyz, prev.surf_mask,
             cur.corner_xyz, cur.corner_mask, cur.surf_xyz, cur.surf_mask,
@@ -995,6 +1120,20 @@ class SemanticSlam:
             # registration waits for both bboxes (batched readback), then
             # dispatches; its factor lands one further drain later
             self._to_register.append((idx - 1, idx))
+        # endurance policy: free the device clouds of keyframes whose
+        # submap closed release_after_submaps ago — nothing reads them
+        # again (the submap merge consumed them at ITS close; loop
+        # verification sources only recent keyframes and targets the
+        # SUBMAP's merged clouds). Matches the reference's container
+        # eviction (odomEstimationNode.cpp:591-593).
+        n_keep = self.cfg.submap.release_after_submaps
+        if n_keep > 0:
+            upto = len(self.collector.submaps) - n_keep
+            while self._released_submaps < upto:
+                for k in self.collector.submaps[
+                        self._released_submaps].kf_indices:
+                    self.keyframes[k].release_clouds()
+                self._released_submaps += 1
 
     def _flush_loop_factors(self) -> bool:
         """Add pending verified loops whose submaps both exist; returns
@@ -1065,32 +1204,45 @@ class SemanticSlam:
         the keyframe's relative pose within the submap. Fixes that fall in
         a gap between submap intervals attach to the globally nearest
         keyframe if within tolerance; otherwise they are counted in
-        `_gps_dropped` instead of vanishing silently."""
-        if not self.collector.submaps:
+        `_gps_dropped` instead of vanishing silently.
+
+        The keyframe-timestamp index is INCREMENTAL (appended at submap
+        close, cached as a sorted array): the round-4 version rebuilt it
+        over ALL submaps on every call — O(N^2) host bookkeeping on a
+        city-length run."""
+        # catch the index up to the closed submaps (submaps close in time
+        # order, so appends keep it sorted)
+        while self._indexed_submaps < len(self.collector.submaps):
+            s = self.collector.submaps[self._indexed_submaps]
+            for k, rel in zip(s.kf_indices, s.kf_rel_poses):
+                self._kf_time_index.append(
+                    (self.keyframes[k].timestamp, s, rel))
+            self._indexed_submaps += 1
+            self._kf_times_np = None  # invalidate the searchsorted cache
+        if not self._kf_time_index:
             return
         tol = 0.2
-        # globally nearest submap-assigned keyframe per fix (the reference
-        # time-matches fixes to keyframes within 0.2 s, :4230-4243)
-        kt, ks, kr = [], [], []
-        for s in self.collector.submaps:
-            for k, rel in zip(s.kf_indices, s.kf_rel_poses):
-                kt.append(self.keyframes[k].timestamp)
-                ks.append(s)
-                kr.append(rel)
-        kt_np = np.asarray(kt)
+        if self._kf_times_np is None:
+            self._kf_times_np = np.asarray(
+                [e[0] for e in self._kf_time_index])
+        kt_np = self._kf_times_np
         remaining = []
         # fixes newer than the last CLOSED submap's coverage stay queued:
         # their keyframe exists but its submap hasn't been cut yet
-        closed_until = kt_np.max() if len(kt_np) else -np.inf
+        closed_until = kt_np[-1]
         for (t, pos, cov) in self._gps_queue:
-            j = int(np.argmin(np.abs(kt_np - t)))
+            # nearest keyframe time via bisection (index is sorted)
+            j = int(np.searchsorted(kt_np, t))
+            if j >= len(kt_np) or (
+                    j > 0 and t - kt_np[j - 1] < kt_np[j] - t):
+                j -= 1
             if abs(kt_np[j] - t) > tol:
                 if t > closed_until:
                     remaining.append((t, pos, cov))  # open/future submap
                 else:
                     self._gps_dropped += 1
                 continue
-            s, rel = ks[j], kr[j]
+            _t, s, rel = self._kf_time_index[j]
             # implied submap-base position: p_gps - R_submap @ rel_t
             R = s.pose_init[:3, :3]
             T = np.eye(4, dtype=np.float32)
@@ -1100,11 +1252,42 @@ class SemanticSlam:
         self._gps_queue = remaining
 
     # ------------------------------------------------------------------
+    def predict_imu_rate(self, imu_time: np.ndarray, imu_gyro: np.ndarray,
+                         imu_accel: np.ndarray) -> jnp.ndarray:
+        """IMU-rate odometry from the FULL pipeline (the reference
+        back-end publishes odometry/imu per IMU sample from imuHandler,
+        subMapOptmizationNode.cpp:429-511): world pose6 at every sample of
+        the given window, propagated from the fused step's current nav
+        state (lidar-anchored, bias-corrected inside slam_step) — a
+        high-rate pose stream for consumers (controllers, viz) between
+        the scan-rate updates of process_scan. One device call; returns a
+        DEVICE (M, 6) array (np.asarray to materialize).
+
+        Note the nav state advances inside the async per-scan program, so
+        the prediction base is the most recently DISPATCHED scan — the
+        same freshness the reference's imuHandler gets from its odometry
+        callback."""
+        assert self.cfg.imu.use_imu and self.fstate.imu is not None, (
+            "predict_imu_rate requires cfg.imu.use_imu")
+        from . import driver as _driver
+
+        it, ig, ia, iv = _driver.pad_imu_window(
+            self.cfg, imu_time, imu_gyro, imu_accel)
+        k = int(iv.sum())
+        ig_l, ia_l = pi.imu_to_lidar(
+            jnp.asarray(ig), jnp.asarray(ia), self.cfg.imu)
+        Rs, _vs, ps = pi.predict_path(
+            jnp.asarray(it), ig_l, ia_l, jnp.asarray(iv),
+            self.fstate.imu, self.cfg.imu)
+        return se3.matrix_to_pose(se3.make_transform(Rs, ps))[:k]
+
+    # ------------------------------------------------------------------
     def flush_pipeline(self):
-        """Drain every deferred stage (pending scans, loop scores, ICP
-        verifications, submap registrations, graph solves) to a quiescent
-        state."""
-        while (self._pending or self._pending_loop or self._pending_verify
+        """Drain every deferred stage (pending scans, the in-flight
+        snapshotted window, loop scores, ICP verifications, submap
+        registrations, graph solves) to a quiescent state."""
+        while (self._pending or self._inflight is not None
+               or self._pending_loop or self._pending_verify
                or self._pending_submap or self._pending_opt is not None
                or self._pending_bbox or self._to_register):
             self._drain()

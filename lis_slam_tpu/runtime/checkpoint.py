@@ -79,17 +79,21 @@ def save_slam(path: str, system) -> None:
     for k, (t, pos, cov) in enumerate(system._gps_queue):
         arrs[f"gps{k}"] = np.concatenate([[t], pos, cov])
 
-    # keyframes
+    # keyframes (cloud buffers absent for released keyframes — the
+    # endurance eviction policy, mapping/submap.Keyframe.release_clouds)
     meta["n_kf"] = len(system.keyframes)
     for k, kf in enumerate(system.keyframes):
         arrs[f"kf{k}_pose_init"] = kf.pose_init
         arrs[f"kf{k}_pose_opt"] = kf.pose_opt
-        arrs[f"kf{k}_corner"] = np.asarray(kf.corner_xyz)
-        arrs[f"kf{k}_corner_m"] = np.asarray(kf.corner_mask)
-        arrs[f"kf{k}_surf"] = np.asarray(kf.surf_xyz)
-        arrs[f"kf{k}_surf_m"] = np.asarray(kf.surf_mask)
-        arrs[f"kf{k}_cls"] = np.asarray(kf.clouds.xyz)
-        arrs[f"kf{k}_cls_m"] = np.asarray(kf.clouds.mask)
+        if not kf.released:
+            arrs[f"kf{k}_corner"] = np.asarray(kf.corner_xyz)
+            arrs[f"kf{k}_corner_m"] = np.asarray(kf.corner_mask)
+            arrs[f"kf{k}_surf"] = np.asarray(kf.surf_xyz)
+            arrs[f"kf{k}_surf_m"] = np.asarray(kf.surf_mask)
+            arrs[f"kf{k}_cls"] = np.asarray(kf.clouds.xyz)
+            arrs[f"kf{k}_cls_m"] = np.asarray(kf.clouds.mask)
+            if kf.clouds.w is not None:
+                arrs[f"kf{k}_cls_w"] = np.asarray(kf.clouds.w)
         arrs[f"kf{k}_t"] = np.float64(kf.timestamp)
         arrs[f"kf{k}_sid"] = np.int64(kf.submap_id)
 
@@ -105,6 +109,8 @@ def save_slam(path: str, system) -> None:
         if sm_.class_xyz is not None:
             arrs[f"sm{k}_cls"] = np.asarray(sm_.class_xyz)
             arrs[f"sm{k}_cls_m"] = np.asarray(sm_.class_mask)
+            if sm_.class_w is not None:
+                arrs[f"sm{k}_cls_w"] = np.asarray(sm_.class_w)
         arrs[f"sm{k}_kf_idx"] = np.asarray(sm_.kf_indices, np.int64)
         arrs[f"sm{k}_kf_rel"] = np.asarray(sm_.kf_rel_poses).reshape(-1, 4, 4)
     # collector accumulators + open keyframe indices
@@ -190,17 +196,23 @@ def load_slam(path: str, system) -> None:
 
     system.keyframes = []
     for k in range(meta["n_kf"]):
+        released = f"kf{k}_surf" not in data
         kf = _sm.Keyframe(
             index=k,
             pose_init=data[f"kf{k}_pose_init"],
             pose_opt=data[f"kf{k}_pose_opt"],
-            clouds=_sm.ClassClouds(
+            clouds=None if released else _sm.ClassClouds(
                 xyz=jnp.asarray(data[f"kf{k}_cls"]),
-                mask=jnp.asarray(data[f"kf{k}_cls_m"])),
-            corner_xyz=jnp.asarray(data[f"kf{k}_corner"]),
-            corner_mask=jnp.asarray(data[f"kf{k}_corner_m"]),
-            surf_xyz=jnp.asarray(data[f"kf{k}_surf"]),
-            surf_mask=jnp.asarray(data[f"kf{k}_surf_m"]),
+                mask=jnp.asarray(data[f"kf{k}_cls_m"]),
+                w=(jnp.asarray(data[f"kf{k}_cls_w"])
+                   if f"kf{k}_cls_w" in data else None)),
+            corner_xyz=None if released else jnp.asarray(
+                data[f"kf{k}_corner"]),
+            corner_mask=None if released else jnp.asarray(
+                data[f"kf{k}_corner_m"]),
+            surf_xyz=None if released else jnp.asarray(data[f"kf{k}_surf"]),
+            surf_mask=None if released else jnp.asarray(
+                data[f"kf{k}_surf_m"]),
             timestamp=float(data[f"kf{k}_t"]),
             submap_id=int(data[f"kf{k}_sid"]),
         )
@@ -222,9 +234,19 @@ def load_slam(path: str, system) -> None:
                        if f"sm{k}_cls" in data else None),
             class_mask=(jnp.asarray(data[f"sm{k}_cls_m"])
                         if f"sm{k}_cls_m" in data else None),
+            class_w=(jnp.asarray(data[f"sm{k}_cls_w"])
+                     if f"sm{k}_cls_w" in data else None),
         )
         sm_.recompute_bbox()
         system.collector.submaps.append(sm_)
+    # the GPS time index and eviction watermark are derived state: reset
+    # them and let the lazy catch-up in _drain_gps / _on_submap rebuild
+    # from the restored submaps (release is idempotent, so pre-eviction
+    # checkpoints get evicted on resume too)
+    system._kf_time_index = []
+    system._kf_times_np = None
+    system._indexed_submaps = 0
+    system._released_submaps = 0
     col = meta["col"]
     system.collector.accu_tran = col["accu_tran"]
     system.collector.accu_rot = col["accu_rot"]

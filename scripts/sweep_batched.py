@@ -40,9 +40,13 @@ def main():
     # flags must not reach the positional batch-size parse
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     B = int(pos[0]) if pos else 8
+    # horizon: VERDICT r4 #8 asks for the cadence/ATE sweep on a >=100-scan
+    # circuit (the r4 table used 24 scans; quantized keyframe timing
+    # interacts with the aged-voxel window only at longer horizons)
+    N = int(pos[1]) if len(pos) > 1 else 24
     P = 65536
     base = SlamConfig().replace(sensor=SensorConfig(max_raw_points=P))
-    scans, _gt = synthetic_jax.render_sequence_device(24, seed=5)
+    scans, _gt = synthetic_jax.render_sequence_device(N, seed=5)
 
     @jax.jit
     def prep(pts, val):

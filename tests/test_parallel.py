@@ -217,3 +217,60 @@ def test_uniform_step_matches_cond_step():
         assert abs(n1 - n2) <= 0.02 * max(n1, 1.0)
     finally:
         syn.hdl64_elevations = orig
+
+
+@pytest.mark.slow
+def test_batched_8way_mesh_production_cadence():
+    """VERDICT r4 next #8: the PRODUCTION batched configuration — 8 lanes
+    sharded over the full 8-device CPU mesh, merge cadence K=4, the
+    one-refresh schedule, hybrid clouds — must (a) keep identical lanes
+    bit-identical through the sharded step, (b) agree with the unsharded
+    host replay to f32 reduction order, and (c) track the K=1 per-scan-
+    merge trajectory within the keyframe-quantization bound."""
+    import dataclasses as _dc
+
+    import lis_slam_tpu.io.synthetic as syn
+    from lis_slam_tpu.pipeline import trajectory
+
+    orig = syn.hdl64_elevations
+    syn.hdl64_elevations = lambda: np.linspace(15.0, -15.0, 16)
+    try:
+        boxes = [[-30, -5, 0, -20, 5, 8], [20, -5, 0, 30, 5, 8],
+                 [-5, 15, 0, 5, 25, 10], [-5, -25, 0, 5, -15, 10]]
+        poles = [[10 * np.cos(a), 10 * np.sin(a), 0.15, 5.0]
+                 for a in np.linspace(0, 2 * np.pi, 12)]
+        world = synthetic.World(
+            boxes=np.asarray(boxes, float),
+            box_labels=np.asarray([synthetic.LBL_BUILDING] * 4, np.int32),
+            poles=np.asarray(poles))
+        cfg = tiny_cfg()  # production matching defaults
+        cfg = cfg.replace(runtime=_dc.replace(
+            cfg.runtime, batched_kf_every=4))
+        n = 10
+        gt = synthetic.circular_trajectory(n + 1, radius=4.0, speed=3.0)
+        scans = [
+            synthetic.render_scan(world, gt[i], None, n_scan=16,
+                                  horizon=900, seed=500 + i, max_range=90.0)
+            for i in range(n)
+        ]
+        sins = [driver.pad_scan(s.points[s.valid], cfg) for s in scans]
+
+        m = pmesh.make_mesh(8, model_parallel=1)
+        assert int(np.prod(list(m.shape.values()))) == 8
+        poses = batched.replay_batched([sins] * 8, cfg, mesh=m)
+        assert poses.shape == (8, n, 6)
+        for b in range(1, 8):
+            np.testing.assert_array_equal(poses[0], poses[b])
+
+        poses_host = batched.replay_batched([sins] * 2, cfg, mesh=None)
+        np.testing.assert_allclose(poses[0], poses_host[0], atol=5e-3)
+
+        cfg1 = cfg.replace(runtime=_dc.replace(
+            cfg.runtime, batched_kf_every=1))
+        poses1 = batched.replay_batched([sins], cfg1, mesh=None)
+        # K=4 quantizes keyframe timing; trajectory-level agreement only
+        # (see test_batched_replay_matches_single's bound rationale)
+        ate = trajectory.ate_rmse(poses[0], poses1[0], align=False)
+        assert ate < 0.2, f"K=4 vs K=1 trajectory ATE {ate:.3f}"
+    finally:
+        syn.hdl64_elevations = orig
