@@ -46,7 +46,9 @@ def main():
     # compile ~2-4 min through the remote relay); skip remaining extras
     # rather than risk the driver's timeout on the ONE required JSON line
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2000"))
+    # 2600: round 5 added the endurance + endurance-infer sections (~4 min
+    # on top of the r4 layout, which fit in 2000)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2600"))
 
     def budget_left():
         return (time.perf_counter() - t_start) < budget_s
