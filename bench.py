@@ -187,16 +187,51 @@ def main():
                      for i in range(n_sys)]
         gt_sys_rel = trajectory.relative_to_first(gt_sys[:n_sys])
 
+        # the replay runs 40 scans PAST the exactly-periodic lap closure
+        # (re-entering the lap on the second noise render) so revisits
+        # genuinely happen inside this section: at exactly one lap the
+        # travel/inflation candidate gate (loopDetection :736-740) is
+        # MARGINAL by construction (nearest-keyframe phase offset ~0.7 m vs
+        # 0.01 * circumference = 0.63 m), and round 5 measured a short
+        # extension land every revisit on the reject side — zero loop
+        # factors, and the verify-ICP program left cold for the endurance
+        # section below
+        n_replay = n_sys + 40
+        gt_replay = np.concatenate([gt_sys[:n_sys], gt_sys[:40]])
+        gt_replay_rel = trajectory.relative_to_first(gt_replay)
+
+        # Odometry-drift injection (the pose_hook seam, same as
+        # test_loop_closure_corrects_injected_drift): the synthetic world's
+        # front-end odometry is near-perfect (raw ATE ~1 cm over a lap), so
+        # without this the graph correction has nothing measurable to fix
+        # and `corrected <= raw` is decided by registration noise. A slowly
+        # growing yaw error about the world origin (~0.19 deg/s) emulates
+        # the ~0.3%-of-travel drift real LOAM odometry accrues — inside the
+        # reference's own candidate gate (1% of travel), so loop closure
+        # must both DETECT and CORRECT it, and raw-vs-corrected ATE now
+        # measures correctPoses doing its job
+        # (subMapOptmizationNode.cpp:4346-4385).
+        from lis_slam_tpu.utils import se3_np as _se3np
+
+        def drift_hook(pose6, idx):
+            th = 3e-4 * idx
+            c, s = np.cos(th), np.sin(th)
+            Td = np.eye(4)
+            Td[:2, :2] = [[c, -s], [s, c]]
+            return _se3np.matrix_to_pose(Td @ _se3np.pose_to_matrix(pose6))
+
         def run_slam():
-            system = slam_mod.SemanticSlam(cfg)
+            system = slam_mod.SemanticSlam(cfg, pose_hook=drift_hook)
             system.process_scan(sys_scans[0], gt_labels=labels_np[0])
             t0 = time.perf_counter()
-            for i in range(1, n_sys):
+            for i in range(1, n_replay):
+                j = i % n_sys
+                s = sys_scans[j] if i < n_sys else sys_scans2[j]
                 system.process_scan(
-                    sys_scans[i], gt_labels=labels_np[i], timestamp=i * 0.1)
+                    s, gt_labels=labels_np[j], timestamp=i * 0.1)
             system.flush_pipeline()  # all deferred drains/loops consumed
             jax.device_get(system.state.pose)
-            return (n_sys - 1) / (time.perf_counter() - t0), system
+            return (n_replay - 1) / (time.perf_counter() - t0), system
 
         run_slam()  # warmup replay: compiles every stage incl. loop/submap
         slam_sps, system = run_slam()
@@ -207,8 +242,9 @@ def main():
         # number: corrected must be <= raw. Aligned ATE (standard TUM
         # practice; the anchor-gauge note in docs/PERF.md). ---
         res_sys = system.finish()
-        slam_ate = trajectory.ate_rmse(res_sys.poses, gt_sys_rel, align=True)
-        slam_raw_ate = trajectory.ate_rmse(res_sys.raw_poses, gt_sys_rel,
+        slam_ate = trajectory.ate_rmse(res_sys.poses, gt_replay_rel,
+                                       align=True)
+        slam_raw_ate = trajectory.ate_rmse(res_sys.raw_poses, gt_replay_rel,
                                            align=True)
         slam_n_submaps = res_sys.n_submaps
         slam_n_loops = res_sys.n_loops + len(system.loops)
@@ -263,16 +299,46 @@ def main():
                 max_priors=cfg.submap.max_submaps)
             est_nodes = min(cfg.submap.max_submaps - 1,
                             8 * (n_end // n_sys) + 8)
+            # the real multi-lap graph carries ~one loop edge per submap
+            # (r5 run: 67 nodes / 144 edges), so warm with edges ~ 2x nodes
+            # or the run crosses an un-warmed EDGE bucket mid-lap (round-5
+            # first run: a ~26 s lap-10 stall on the 256-edge compile)
+            warmed = set()
             for k in range(est_nodes):
                 wg.add_node(np.eye(4))
                 if k:
                     wg.add_odom_edge(k - 1, k, np.eye(4))
-                if k % 8 == 7:
-                    wg.add_loop_edge(max(0, k - 7), k, np.eye(4), 1.0)
-                nw, dev = wg.optimize_async()
-                wg.consume_optimized(nw, np.asarray(dev))
+                    wg.add_loop_edge(max(0, k - 8), k, np.eye(4), 1.0)
+                # one compile per (node, edge, prior) bucket triple: solve
+                # only when the padded shape changes
+                bucket = (wg._bucket(len(wg.nodes), wg.max_nodes),
+                          wg._bucket(len(wg.edges), wg.max_edges))
+                if bucket not in warmed:
+                    warmed.add(bucket)
+                    nw, dev = wg.optimize_async()
+                    wg.consume_optimized(nw, np.asarray(dev))
 
-            system = slam_mod.SemanticSlam(cfg)
+            # pre-warm the loop-verify ICP program: whether the 1.4-lap
+            # full-SLAM section above dispatched a verify depends on
+            # keyframe phase luck at the candidate gate; a cold verify
+            # compile through the remote relay mid-endurance is a ~40 s
+            # lap stall (round-5 first run, lap 3)
+            _vr = slam_mod._verify_loop_device(
+                jnp.zeros((32768, 3)), jnp.zeros(32768, bool),
+                jnp.zeros((5 * cfg.submap.class_capacity, 3)),
+                jnp.zeros(5 * cfg.submap.class_capacity, bool),
+                jnp.eye(4), cfg.loop.icp_max_iterations,
+                cfg.loop.verify_max_correspond_dist,
+                cfg.loop.verify_hash_cell_size,
+                cfg.loop.verify_hash_table_size,
+                cfg.loop.verify_source_leaf,
+                cfg.loop.verify_source_capacity,
+                cfg.loop.verify_target_leaf,
+                cfg.loop.verify_target_capacity,
+                tuple(cfg.loop.verify_refresh_iters))
+            jax.device_get(_vr.fitness)
+
+            system = slam_mod.SemanticSlam(cfg, pose_hook=drift_hook)
             lap_walls = []
             t0 = t_lap = time.perf_counter()
             for k in range(n_end):
@@ -334,6 +400,8 @@ def main():
     lio_slam_sps = 0.0
     lio_slam_resets = -1
     try:
+        if not int(os.environ.get("BENCH_LIO", "1")):
+            raise TimeoutError("lio sections disabled (BENCH_LIO=0)")
         if not budget_left():
             raise TimeoutError("bench budget exhausted")
         if not slam_sps:
@@ -408,6 +476,8 @@ def main():
 
     # ---- config 2: LIO (IMU preintegration + fusion) ----
     try:
+        if not int(os.environ.get("BENCH_LIO", "1")):
+            raise TimeoutError("lio sections disabled (BENCH_LIO=0)")
         if not budget_left():
             raise TimeoutError("bench budget exhausted")
         from lis_slam_tpu.pipeline import lio as lio_mod
@@ -445,6 +515,8 @@ def main():
     dk_params_m = 0.0
     slam_infer_sps = slam_infer_end_sps = 0.0
     try:
+        if not int(os.environ.get("BENCH_DARKNET", "1")):
+            raise TimeoutError("darknet section disabled (BENCH_DARKNET=0)")
         if not budget_left():
             raise TimeoutError("bench budget exhausted")
         import dataclasses as _dc3
@@ -467,10 +539,15 @@ def main():
         o = dk_fwd(dk_vars, img)
         jax.device_get(o[0, 0, 0])  # sync (see axon note above)
         n_inf = 20
+        # vary the input so the relay cannot serve a cached result — but
+        # MATERIALIZE the variants before timing: building `img + k*eps`
+        # inside the loop times 20 tunnel add-dispatches, not the forward
+        # pass (round-5 first run: 50.6 ms/inference vs the true 7.6)
+        imgs = [(img + jnp.float32(k) * 1e-3) for k in range(n_inf)]
+        jax.device_get(imgs[-1][0, 0, 0])
         t0 = time.perf_counter()
         for k in range(n_inf):
-            # vary the input so the relay cannot serve a cached result
-            o = dk_fwd(dk_vars, img + jnp.float32(k) * 1e-3)
+            o = dk_fwd(dk_vars, imgs[k])
         jax.device_get(o[0, 0, 0])
         dk_ms = (time.perf_counter() - t0) / n_inf * 1e3
 

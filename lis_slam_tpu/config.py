@@ -373,6 +373,24 @@ class LoopClosureConfig:
     # load factor
     verify_hash_cell_size: float = 1.0
     verify_hash_table_size: int = 1 << 15
+    # verify-ICP cloud compaction: the reference registers the keyframe's
+    # and submap's voxel-DOWNSAMPLED class clouds (subMap.h:269-277 `_down`
+    # variants, merged at :2746-2750 / :2838-2842), not the raw merges.
+    # Compacting the capacity-padded buffers (8k source / 5x32k target
+    # slots) to these capacities took one verify dispatch from 433 ms to
+    # ~35 ms on-device (docs/PERF.md round 5) — the difference between a
+    # multi-lap replay stalling on its own loop closures and not.
+    verify_source_leaf: float = 0.8
+    verify_source_capacity: int = 4096
+    verify_target_leaf: float = 0.5
+    verify_target_capacity: int = 32768
+    # kNN refresh schedule inside the verify ICP (ops/icp.py refresh_iters):
+    # full hash searches at these iterations, cached neighbor indices
+    # re-evaluated at the current pose in between. The reference re-matches
+    # every PCL iteration on a CPU worker thread that never blocks the
+    # 10 Hz path (:2328-2492); here the verify shares the ONE device stream
+    # with odometry, so its cost directly gates full-system throughput.
+    verify_refresh_iters: tuple = (0, 4, 10, 18)
 
 
 @dataclass(frozen=True)

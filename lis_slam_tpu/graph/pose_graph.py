@@ -159,11 +159,30 @@ def optimize(graph: PoseGraph, damping: float = 1e-6,
     with the odometry chain (the round-3 GPS-drift regression: node
     estimates diverged after ~5 sweeps); LM's reject-and-raise-lambda makes
     every sweep monotone in cost. GTSAM's iSAM2 wraps the same factors in a
-    trust-region (Dogleg) solver for the same reason."""
-    n = graph.nodes.shape[0]
+    trust-region (Dogleg) solver for the same reason.
 
-    def body(it, carry):
-        nodes, lam = carry
+    Early exit: the sweep loop stops once an ACCEPTED step moves every node
+    by < 1e-6 — but never before the GNC anneal has reached its final c
+    (exiting mid-anneal would leave robust loops effectively quadratic).
+    The pipeline re-optimizes the warm-started graph at every new factor
+    (saveSubMapAndFactor parity), where convergence typically needs a
+    handful of sweeps, not the `iterations` worst case — and each sweep is
+    a dense (6N)^2 solve sharing the device stream with the 10 Hz scan
+    chain."""
+    n = graph.nodes.shape[0]
+    # sweeps to anneal c_start -> robust_c (halving per sweep), + slack at
+    # the final c (robust_c/gnc_start_c are traced: keep this in jnp)
+    min_sweeps = jnp.minimum(
+        iterations,
+        jnp.ceil(jnp.log2(jnp.maximum(gnc_start_c / robust_c, 1.0))
+                 ).astype(jnp.int32) + 3)
+
+    def cond(carry):
+        _nodes, _lam, it, conv = carry
+        return (it < iterations) & ~conv
+
+    def body(carry):
+        nodes, lam, it, _conv = carry
         c = _gnc_c(it, robust_c, gnc_start_c)
         r_e, Ji, Jj, r_p, Jp = _masked_residuals(graph, nodes)
         e2 = jnp.sum(r_e * r_e, axis=1)
@@ -204,11 +223,17 @@ def optimize(graph: PoseGraph, damping: float = 1e-6,
         accept = new_cost < cost
         nodes = jnp.where(accept, cand, nodes)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), lam * 4.0)
-        return nodes, lam
+        # a tiny PROPOSED step means converged whether accepted or not: if
+        # rejected, the quadratic model can't improve cost at this point
+        # either (accept is strict `<`, so an exactly-converged graph would
+        # otherwise never set it and always pay all `iterations` sweeps)
+        conv = (jnp.max(jnp.abs(delta)) < 1e-6) & (it + 1 >= min_sweeps)
+        return nodes, lam, it + 1, conv
 
-    nodes, _lam = jax.lax.fori_loop(
-        0, iterations, body,
-        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype)))
+    nodes, _lam, _it, _conv = jax.lax.while_loop(
+        cond, body,
+        (graph.nodes, jnp.asarray(1e-4, graph.nodes.dtype), jnp.int32(0),
+         jnp.bool_(False)))
     return graph._replace(nodes=nodes)
 
 

@@ -51,7 +51,7 @@ def _gn_se3_step(src_world, tgt, normal, residual, w):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "point_to_plane"),
+    static_argnames=("max_iterations", "point_to_plane", "refresh_iters"),
 )
 def icp(
     src: jnp.ndarray,  # (Ns, 3) source points
@@ -63,32 +63,55 @@ def icp(
     max_iterations: int = 30,
     point_to_plane: bool = False,
     trans_eps: float = 1e-4,
+    refresh_iters: tuple = (),
 ) -> ICPResult:
     """GN ICP (OptimizedICPGN::Match rebuild). point_to_plane=True fits a
-    local plane through the 5-NN (GICP-class accuracy)."""
+    local plane through the 5-NN (GICP-class accuracy).
+
+    `refresh_iters`: iterations at which the hash k-NN search runs; between
+    refreshes the cached neighbor INDICES are reused and re-evaluated at the
+    current pose (true distances recomputed each iteration, so the
+    correspondence gate stays honest). `()` = search every iteration (the
+    reference's per-iteration PCL correspondence estimation). The 27-cell
+    hash probe is ~15x the cost of the gather+fit work it feeds, so a
+    (0, m1, m2) schedule cuts the verify-ICP device cost ~7x; the
+    early-exit `done` is deferred until the LAST refresh has run so a
+    near-converged pose still sees fresh correspondences."""
+    kk = 5 if point_to_plane else 1
+    last_refresh = max(refresh_iters) if refresh_iters else 0
 
     def cond(state):
-        T, it, done, _fit, _n = state
+        T, it, done, _fit, _n, _idx = state
         return (it < max_iterations) & ~done
 
     def body(state):
-        T, it, _done, _fit, _n = state
+        T, it, _done, _fit, _n, idx_c = state
         moved = se3.transform_points(T, src)
+        if refresh_iters:
+            do_refresh = jnp.any(
+                jnp.stack([it == r for r in refresh_iters]))
+            idx = jax.lax.cond(
+                do_refresh,
+                lambda m: knn.knn_hash(m, tgt_hash, k=kk)[1],
+                lambda m: idx_c, moved)
+        else:
+            idx = knn.knn_hash(moved, tgt_hash, k=kk)[1]
+        near = tgt[idx]  # (N, kk, 3)
+        d2 = jnp.sum((moved[:, None, :] - near) ** 2, axis=-1)  # (N, kk)
         if point_to_plane:
-            d, idx = knn.knn_hash(moved, tgt_hash, k=5)
-            near = tgt[idx]
             n_vec, d_off = lin.solve_plane_lsq(near)
             resid = jnp.einsum("nj,nj->n", moved, n_vec) + d_off
-            ok = src_mask & (d[:, 4] < max_correspond_dist**2)
+            # gate on the FARTHEST of the kk neighbors (the original
+            # d[:, 4] from the sorted search; cached indices lose the sort
+            # but max-over-k is the same bound)
+            ok = src_mask & (jnp.max(d2, axis=1) < max_correspond_dist**2)
             normal = n_vec
         else:
-            d, idx = knn.knn_hash(moved, tgt_hash, k=1)
-            q = tgt[idx[:, 0]]
-            diff = moved - q
-            dist = jnp.sqrt(jnp.maximum(d[:, 0], 1e-12))
+            diff = moved - near[:, 0]
+            dist = jnp.sqrt(jnp.maximum(d2[:, 0], 1e-12))
             normal = diff / dist[:, None]
             resid = dist
-            ok = src_mask & (d[:, 0] < max_correspond_dist**2)
+            ok = src_mask & (d2[:, 0] < max_correspond_dist**2)
         # rows without valid correspondences can carry NaN normals (plane
         # fit through a degenerate / sentinel-gathered neighborhood); a
         # 0-weight times NaN still poisons the GN reductions, so zero them
@@ -103,12 +126,13 @@ def icp(
         dx = jnp.where(enough, dx, jnp.zeros(6))
         T_new = se3.se3_exp(dx) @ T
         fit = jnp.sum(w * resid * resid) / jnp.maximum(n_in, 1)
-        done = (jnp.linalg.norm(dx) < trans_eps) | ~enough
-        return (T_new, it + 1, done, fit, n_in)
+        done = ((jnp.linalg.norm(dx) < trans_eps)
+                & (it >= last_refresh)) | ~enough
+        return (T_new, it + 1, done, fit, n_in, idx)
 
     init = (init_T, jnp.int32(0), jnp.bool_(False), jnp.float32(1e9),
-            jnp.int32(0))
-    T, it, done, fit, n_in = jax.lax.while_loop(cond, body, init)
+            jnp.int32(0), jnp.zeros((src.shape[0], kk), jnp.int32))
+    T, it, done, fit, n_in, _ = jax.lax.while_loop(cond, body, init)
     return ICPResult(transform=T, converged=done & (n_in >= 10), fitness=fit,
                      n_inliers=n_in, iterations=it)
 

@@ -459,23 +459,35 @@ def _register_submaps_sem(prev_class_xyz, prev_class_mask, cur_class_xyz,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_iterations", "max_correspond_dist", "cell_size", "table_size"))
+    "max_iterations", "max_correspond_dist", "cell_size", "table_size",
+    "src_leaf", "src_capacity", "tgt_leaf", "tgt_capacity", "refresh_iters"))
 def _verify_loop_device(kf_surf, kf_mask, tgt_xyz, tgt_mask, T_init,
                         max_iterations, max_correspond_dist, cell_size,
-                        table_size):
-    """Loop ICP verification as ONE device program: hash build + seeded
-    point-to-plane ICP (detectLoopClosureForSubMap, subMapOptmizationNode.
-    cpp:2739-2916; ICP params cfg.loop.verify_*). `tgt_xyz` is the submap's
-    merged SEMANTIC cloud when semantics flow (the reference verifies
-    against the submap's merged labeled cloud, subMap.h:435-664), else its
-    surf cloud."""
-    th = knn.build_hash(tgt_xyz, tgt_mask, cell_size=cell_size,
+                        table_size, src_leaf, src_capacity, tgt_leaf,
+                        tgt_capacity, refresh_iters):
+    """Loop ICP verification as ONE device program: voxel-compact both
+    clouds, hash build + seeded point-to-plane ICP
+    (detectLoopClosureForSubMap, subMapOptmizationNode.cpp:2739-2916; ICP
+    params cfg.loop.verify_*). `tgt_xyz` is the submap's merged SEMANTIC
+    cloud when semantics flow (the reference verifies against the submap's
+    merged labeled clouds, :2838-2842 / subMap.h:269-277 — which are the
+    per-class voxel-DOWNSAMPLED variants, so the compaction below is
+    parity, not an approximation). The downsample also compacts the
+    capacity-padded submap buffer (5 x class_capacity slots, mostly masked)
+    to `tgt_capacity` real rows — at padded size this one call was 433 ms
+    on-device and dominated multi-lap endurance replay (docs/PERF.md r5)."""
+    src_c, src_m, _ = voxel.voxel_downsample(
+        kf_surf, kf_mask, src_leaf, src_capacity)
+    tgt_c, tgt_m, _ = voxel.voxel_downsample(
+        tgt_xyz, tgt_mask, tgt_leaf, tgt_capacity)
+    th = knn.build_hash(tgt_c, tgt_m, cell_size=cell_size,
                         table_size=table_size)
     return icp_ops.icp(
-        kf_surf, kf_mask, tgt_xyz, th, T_init,
+        src_c, src_m, tgt_c, th, T_init,
         max_correspond_dist=max_correspond_dist,
         max_iterations=max_iterations,
         point_to_plane=True,
+        refresh_iters=refresh_iters,
     )
 
 
@@ -1066,6 +1078,11 @@ class SemanticSlam:
                 cfg.loop.verify_max_correspond_dist,
                 cfg.loop.verify_hash_cell_size,
                 cfg.loop.verify_hash_table_size,
+                cfg.loop.verify_source_leaf,
+                cfg.loop.verify_source_capacity,
+                cfg.loop.verify_target_leaf,
+                cfg.loop.verify_target_capacity,
+                tuple(cfg.loop.verify_refresh_iters),
             )
         self._pending_verify.append((kf_index, cand.matched_id, kf_pair, res))
 

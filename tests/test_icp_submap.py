@@ -54,6 +54,35 @@ def test_icp_recovers_transform(cloud, method):
     assert float(res.fitness) < 0.01
 
 
+def test_icp_refresh_schedule_matches_full_refresh(cloud):
+    """`refresh_iters` (cached correspondences between scheduled hash
+    searches — the verify-ICP cost fix, cfg.loop.verify_refresh_iters)
+    recovers the same transform as the per-iteration search."""
+    rng = np.random.default_rng(3)
+    true_pose = np.array([0.01, -0.02, 0.06, 0.25, -0.3, 0.08], np.float32)
+    src = cloud[rng.choice(len(cloud), 2000, replace=False)]
+    T_true = np.asarray(se3.pose_to_matrix(jnp.asarray(true_pose)))
+    src_moved = (src - T_true[:3, 3]) @ T_true[:3, :3]
+    h = knn.build_hash(jnp.asarray(cloud), jnp.ones(len(cloud), bool),
+                       cell_size=1.0, table_size=1 << 14)
+    kw = dict(max_iterations=30, point_to_plane=True,
+              max_correspond_dist=1.0)
+    full = icp.icp(jnp.asarray(src_moved.astype(np.float32)),
+                   jnp.ones(len(src), bool), jnp.asarray(cloud), h,
+                   jnp.eye(4), **kw)
+    sched = icp.icp(jnp.asarray(src_moved.astype(np.float32)),
+                    jnp.ones(len(src), bool), jnp.asarray(cloud), h,
+                    jnp.eye(4), refresh_iters=(0, 4, 10, 18), **kw)
+    T_f, T_s = np.asarray(full.transform), np.asarray(sched.transform)
+    assert int(sched.n_inliers) > 1000
+    # both recover the truth; scheduled vs full agree to correspondence noise
+    np.testing.assert_allclose(T_s[:3, 3], T_true[:3, 3], atol=0.05)
+    np.testing.assert_allclose(T_s[:3, :3], T_true[:3, :3], atol=0.02)
+    np.testing.assert_allclose(T_s, T_f, atol=0.02)
+    # the early-exit guard keeps iterating until the LAST refresh has run
+    assert int(sched.iterations) > 18
+
+
 def test_fitness_score(cloud):
     h = knn.build_hash(jnp.asarray(cloud), jnp.ones(len(cloud), bool),
                        cell_size=1.0, table_size=1 << 14)
