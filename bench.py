@@ -299,24 +299,39 @@ def main():
                 max_priors=cfg.submap.max_submaps)
             est_nodes = min(cfg.submap.max_submaps - 1,
                             8 * (n_end // n_sys) + 8)
-            # the real multi-lap graph carries ~one loop edge per submap
-            # (r5 run: 67 nodes / 144 edges), so warm with edges ~ 2x nodes
-            # or the run crosses an un-warmed EDGE bucket mid-lap (round-5
-            # first run: a ~26 s lap-10 stall on the 256-edge compile)
-            warmed = set()
-            for k in range(est_nodes):
-                wg.add_node(np.eye(4))
-                if k:
-                    wg.add_odom_edge(k - 1, k, np.eye(4))
-                    wg.add_loop_edge(max(0, k - 8), k, np.eye(4), 1.0)
-                # one compile per (node, edge, prior) bucket triple: solve
-                # only when the padded shape changes
-                bucket = (wg._bucket(len(wg.nodes), wg.max_nodes),
-                          wg._bucket(len(wg.edges), wg.max_edges))
-                if bucket not in warmed:
-                    warmed.add(bucket)
-                    nw, dev = wg.optimize_async()
-                    wg.consume_optimized(nw, np.asarray(dev))
+            # The LM program compiles per (node-bucket, edge-bucket) shape
+            # pair. A growth REPLAY only warms the pairs its own edge/node
+            # ratio crosses — and the real ratio varies with how many loop
+            # factors dedup lets through (r5 runs measured 2.2 and 2.7
+            # edges/node; a replay warmed at ratio 2.0 still stalled ~16 s
+            # and ~11 s on (32,128)/(64,256) compiles mid-lap). Enumerate
+            # the pairs any monotone growth with 1 <= edges/node <= 4 can
+            # touch instead: eb in {nb, 2nb, 4nb}, both capped at the
+            # buckets of the expected final graph.
+            node_cap = wg._bucket(est_nodes, wg.max_nodes)
+            edge_cap = wg._bucket(min(4 * est_nodes, wg.max_edges),
+                                  wg.max_edges)
+            nb = 8
+            pairs = []
+            while nb <= node_cap:
+                # nb//2 too: right after a node-bucket crossing the edge
+                # count (>= nodes-1) can still sit in the previous bucket
+                for eb in (max(8, nb // 2), nb, 2 * nb, 4 * nb):
+                    if eb <= edge_cap and (nb, eb) not in pairs:
+                        pairs.append((nb, eb))
+                nb *= 2
+            for (nb, eb) in pairs:
+                wg2 = pg_mod.GraphBuilder(
+                    cfg.graph, max_nodes=cfg.submap.max_submaps,
+                    max_edges=cfg.submap.max_submaps * 4,
+                    max_priors=cfg.submap.max_submaps)
+                for k in range(nb):
+                    wg2.add_node(np.eye(4))
+                for k in range(eb):
+                    i = k % (nb - 1)
+                    wg2.add_odom_edge(i, i + 1, np.eye(4))
+                nw, dev = wg2.optimize_async()
+                wg2.consume_optimized(nw, np.asarray(dev))
 
             # pre-warm the loop-verify ICP program: whether the 1.4-lap
             # full-SLAM section above dispatched a verify depends on
