@@ -270,6 +270,7 @@ def main():
     # factors after dedup, per-lap ATE (must stay flat — the whole point
     # of loop closure), keyframe-cloud eviction, and memory. ----
     end_sps = end_ate = end_raw_ate = 0.0
+    end_steady_sps = end_flush_s = 0.0
     end_scans = int(os.environ.get("BENCH_ENDURANCE_SCANS", "1000"))
     end_n_run = 0
     end_loops = end_submaps = end_kf = end_kf_released = 0
@@ -368,10 +369,15 @@ def main():
                     now = time.perf_counter()
                     lap_walls.append(now - t_lap)
                     t_lap = now
+            t_fl = time.perf_counter()
             system.flush_pipeline()
             jax.device_get(system.state.pose)
+            end_flush_s = time.perf_counter() - t_fl
             end_wall = time.perf_counter() - t0
             end_sps = n_end / end_wall
+            # sustained rate = median lap rate (excludes the one-off
+            # termination flush; the total-including-flush rate is end_sps)
+            end_steady_sps = n_sys / float(np.median(lap_walls))
             end_n_run = n_end
             end_lap_walls = [round(float(w), 2) for w in lap_walls]
             res_end = system.finish()
@@ -658,6 +664,8 @@ def main():
             "full_slam_stage_total_ms": slam_stage_ms,
             "endurance_scans": end_n_run,
             "endurance_scans_per_sec": round(end_sps, 2),
+            "endurance_steady_scans_per_sec": round(end_steady_sps, 2),
+            "endurance_flush_s": round(end_flush_s, 2),
             "endurance_loop_factors": end_loops,
             "endurance_submaps": end_submaps,
             "endurance_keyframes": end_kf,

@@ -626,6 +626,7 @@ class SemanticSlam:
         #  bbox_pend) — see _drain
         self._inflight: tuple | None = None
         self._factors_dirty = False  # odom factors added since last optimize
+        self._defer_opt = False  # terminal flush: collapse optimizes to one
         self._pending: list[_PendingScan] = []
         self._pending_loop: list[tuple[int, np.ndarray, tuple]] = []
         self._pending_verify: list[tuple[int, int, object]] = []
@@ -826,11 +827,20 @@ class SemanticSlam:
         # installed when its window is consumed (the reference's 1 Hz
         # subMapOptmizationThread has the same off-critical-path latency).
         # Runs every _drain — not inside _consume — so verified loops
-        # still flush when no window is in flight ----
+        # still flush when no window is in flight. During a terminal
+        # flush (_defer_opt) the dispatch is suppressed: factors land
+        # one-per-iteration there, and re-solving the full graph after
+        # each would serialize several large-bucket LM programs on the
+        # device for results nothing reads — flush_pipeline runs ONE
+        # solve at the end instead (the reference's explicit final
+        # optimization on finishMap does the same collapsing). ----
         if self._flush_loop_factors() or self._factors_dirty:
-            self._factors_dirty = False
-            with self.timer.stage("graph_optimize"):
-                self._pending_opt = self.graph.optimize_async()
+            if self._defer_opt:
+                self._factors_dirty = True
+            else:
+                self._factors_dirty = False
+                with self.timer.stage("graph_optimize"):
+                    self._pending_opt = self.graph.optimize_async()
 
     def _consume(self, pend, packed, loop_pend, verify_pend, sub_pend,
                  opt_pend, bbox_pend):
@@ -1302,12 +1312,61 @@ class SemanticSlam:
     def flush_pipeline(self):
         """Drain every deferred stage (pending scans, the in-flight
         snapshotted window, loop scores, ICP verifications, submap
-        registrations, graph solves) to a quiescent state."""
-        while (self._pending or self._inflight is not None
-               or self._pending_loop or self._pending_verify
-               or self._pending_submap or self._pending_opt is not None
-               or self._pending_bbox or self._to_register):
-            self._drain()
+        registrations, graph solves) to a quiescent state.
+
+        Loop/odom factors landing during the flush are accumulated and
+        solved ONCE at the end rather than re-dispatching a full-graph
+        LM per drain iteration (each verified loop consumed in its own
+        iteration used to trigger its own large-bucket solve, serialized
+        on the one device stream — termination cost that grew with graph
+        size; the reference's finishMap runs one explicit final
+        optimization the same way, subMapOptmizationNode.cpp:4346-4385)."""
+        import os as _os
+        import time as _time
+
+        dbg = _os.environ.get("LIS_FLUSH_DEBUG")
+        self._defer_opt = True
+        try:
+            while (self._pending or self._inflight is not None
+                   or self._pending_loop or self._pending_verify
+                   or self._pending_submap or self._pending_opt is not None
+                   or self._pending_bbox or self._to_register):
+                if dbg:
+                    import sys as _sys
+
+                    comp = (f"pend={len(self._pending)} "
+                            f"infl={self._inflight is not None:d} "
+                            f"loop={len(self._pending_loop)} "
+                            f"verify={len(self._pending_verify)} "
+                            f"sub={len(self._pending_submap)} "
+                            f"opt={self._pending_opt is not None:d} "
+                            f"bbox={len(self._pending_bbox)} "
+                            f"toreg={len(self._to_register)}")
+                    _t1 = _time.perf_counter()
+                    self._drain()
+                    print(f"[flush] {1e3 * (_time.perf_counter() - _t1):8.1f}"
+                          f" ms  {comp}", file=_sys.stderr, flush=True)
+                else:
+                    self._drain()
+        finally:
+            self._defer_opt = False
+        if self._factors_dirty:
+            self._factors_dirty = False
+            _t1 = _time.perf_counter()
+            with self.timer.stage("graph_optimize"):
+                nw, dev = self.graph.optimize_async()
+            opt = self.graph.consume_optimized(
+                nw, np.asarray(jax.device_get(dev)))
+            for k in range(min(len(opt), len(self.collector.submaps))):
+                self.collector.submaps[k].pose_opt = opt[k]
+            if dbg:
+                import sys as _sys
+
+                print(f"[flush] final solve "
+                      f"{1e3 * (_time.perf_counter() - _t1):8.1f} ms "
+                      f"({len(self.graph.nodes)} nodes, "
+                      f"{len(self.graph.edges)} edges)",
+                      file=_sys.stderr, flush=True)
 
     def finish(self, build_map: bool = False) -> SlamResult:
         """finishMap service equivalent: flush the pipeline + last submap,
@@ -1332,10 +1391,12 @@ class SemanticSlam:
                 s = self.collector.submaps[kf.submap_id]
                 rel = np.linalg.inv(s.pose_init) @ kf.pose_init
                 kf_corr[kf.index] = s.pose_opt @ rel
-        # per-scan: apply the correction of the most recent keyframe
+        # per-scan: apply the correction of the most recent keyframe.
+        # Pure numpy (se3_np): the loop runs once per SCAN, and an eager
+        # device op here costs a tunnel dispatch each — on a 1,000-scan
+        # endurance run the old jnp round-trips made finish() take ~20 s
+        # for trajectory correction alone (round-5 profile_flush_tail).
         if len(raw):
-            T_all = np.asarray(
-                se3.pose_to_matrix(jnp.asarray(raw, dtype=jnp.float32)))
             kf_ptr = -1
             delta = np.eye(4)
             for i in range(len(raw)):
@@ -1346,9 +1407,8 @@ class SemanticSlam:
                     if kf.index in kf_corr:
                         delta = kf_corr[kf.index] @ np.linalg.inv(
                             kf.pose_init)
-                T_corr = delta @ T_all[i]
-                corrected[i] = np.asarray(
-                    se3.matrix_to_pose(jnp.asarray(T_corr, jnp.float32)))
+                T_corr = delta @ se3_np.pose_to_matrix(raw[i])
+                corrected[i] = se3_np.matrix_to_pose(T_corr)
 
         global_map = None
         if build_map and self.collector.submaps:
